@@ -5,12 +5,20 @@ are exercised without TPU hardware. Must run before jax initializes.
 """
 import os
 
+# NOTE: on this machine the TPU registers through the experimental "axon"
+# plugin, which ignores JAX_PLATFORMS; JAX_PLATFORM_NAME + config.update do
+# take effect. Set everything before jax initializes.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
