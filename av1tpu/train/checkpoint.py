@@ -1,0 +1,113 @@
+"""Orbax checkpointing with save->restore->re-verify round trips.
+
+The reference checkpoints with raw ``torch.save`` and documents an
+unresolved nondeterministic F1 drop after reload (Exp 10A/11A — quirk Q4 in
+SURVEY.md: 48.52% in-training -> 25.90% after restore). This module makes
+the round-trip check the reference only sketched
+(docs_v6/11_exp11a_adapter_layers.md:268-270) a built-in:
+``save_checkpoint(..., verify=True)`` restores what it just wrote and
+asserts bitwise pytree equality, raising on any mismatch.
+
+Checkpoint contract mirrors the reference payload
+(``{epoch, model_state_dict, optimizer_state_dict, best_metric, ...}``,
+003:292-313) as ``{state: TrainState, meta: dict}``.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from av1tpu.train.trainer import TrainState
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def _trees_equal(a, b) -> bool:
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    if len(la) != len(lb):
+        return False
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def save_checkpoint(
+    directory: Path,
+    state: TrainState,
+    meta: Optional[Dict[str, Any]] = None,
+    verify: bool = True,
+) -> Path:
+    """Write one checkpoint directory; optionally verify by restoring."""
+    directory = Path(directory).absolute()
+    directory.parent.mkdir(parents=True, exist_ok=True)
+    host_state = _to_host(state)
+
+    ckptr = ocp.StandardCheckpointer()
+    if directory.exists():
+        import shutil
+
+        shutil.rmtree(directory)
+    ckptr.save(directory, host_state)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        (directory / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+
+    if verify:
+        restored = ckptr.restore(directory, host_state)
+        if not _trees_equal(host_state, restored):
+            raise RuntimeError(
+                f"checkpoint round-trip mismatch at {directory} — "
+                "saved and restored pytrees differ (quirk-Q4 guard)"
+            )
+    return directory
+
+
+def restore_checkpoint(
+    directory: Path, template: TrainState
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore a checkpoint into the structure of ``template``."""
+    directory = Path(directory).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(directory, _to_host(template))
+    meta_path = directory / "meta.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return restored, meta
+
+
+def transplant_backbone(
+    target_params: Dict, source_params: Dict, prefix: str = "backbone"
+) -> Dict:
+    """Copy a backbone subtree from one model's params into another's.
+
+    The functional analogue of the reference's prefix-filtered
+    ``load_state_dict(strict=False)`` transplants (013:53-64, 004:327-349,
+    005:451-457): shapes must match exactly; head subtrees are untouched.
+    """
+    import flax
+
+    target = flax.core.unfreeze(target_params)
+    source = flax.core.unfreeze(source_params)
+    if prefix not in source:
+        raise KeyError(f"source has no '{prefix}' subtree")
+    src = source[prefix]
+    dst = target.get(prefix)
+    if dst is not None:
+        src_shapes = jax.tree_util.tree_map(lambda a: a.shape, src)
+        dst_shapes = jax.tree_util.tree_map(lambda a: a.shape, dst)
+        if src_shapes != dst_shapes:
+            raise ValueError("backbone structure mismatch; cannot transplant")
+    target[prefix] = src
+    return target
+
+
+__all__ = [
+    "restore_checkpoint",
+    "save_checkpoint",
+    "transplant_backbone",
+]

@@ -1,0 +1,313 @@
+"""Generic jitted stage trainer: train/eval steps, epoch loop, metrics.
+
+Replaces the reference's per-script eager epoch loops
+(``003_train_stage1_improved.py:41-123`` and siblings) with one fused,
+sharded training graph:
+
+    uint16 batch -> normalize (Q1-safe single /1023) -> functional
+    augmentation -> forward (bf16-capable) -> loss -> grad -> psum over
+    the data axis (XLA-inserted) -> optimizer update
+
+The whole chain is ONE ``jax.jit`` with donated state, in/out shardings
+from :mod:`av1tpu.parallel.mesh`, and on-device metric accumulation
+(confusion matrices via one-hot matmuls — no per-sample host loops).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from av1tpu.data.records import NORM_10BIT
+from av1tpu.data.sampling import balanced_epoch_indices, shuffled_epoch_indices
+from av1tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    place_params,
+    replicated,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    """Immutable training state — the unit the jitted step transforms."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables, optimizer):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", FrozenDict({})),
+            opt_state=optimizer.init(params),
+        )
+
+
+@dataclass
+class StepConfig:
+    """Static configuration compiled into the train/eval step."""
+
+    loss_fn: Callable  # (logits, labels) -> scalar
+    label_key: str
+    augment: Optional[Callable] = None       # (key, image) -> image
+    augment_labeled: Optional[Callable] = None  # (key, image, label) -> (image, label)
+    norm_scale: float = NORM_10BIT
+    binary: bool = False
+    num_classes: int = 2
+    apply_kwargs: Mapping[str, Any] = field(default_factory=dict)
+
+
+def confusion_matrix(labels, preds, num_classes: int):
+    """On-device confusion via one-hot matmul (MXU-friendly); invalid
+    labels (< 0) contribute nothing."""
+    valid = (labels >= 0).astype(jnp.float32)
+    lab_oh = jax.nn.one_hot(jnp.clip(labels, 0), num_classes) * valid[:, None]
+    pred_oh = jax.nn.one_hot(preds, num_classes)
+    return lab_oh.T @ pred_oh
+
+
+def make_train_step(model, optimizer, cfg: StepConfig):
+    """Build the fused train step: (state, batch, rng) -> (state, metrics)."""
+
+    def loss_and_metrics(params, batch_stats, batch, rng):
+        aug_key, dropout_key = jax.random.split(rng)
+        images = batch["samples"].astype(jnp.float32) / cfg.norm_scale
+        labels = batch[cfg.label_key]
+
+        if cfg.augment_labeled is not None:
+            keys = jax.random.split(aug_key, images.shape[0])
+            images, labels = jax.vmap(cfg.augment_labeled)(keys, images, labels)
+        elif cfg.augment is not None:
+            keys = jax.random.split(aug_key, images.shape[0])
+            images = jax.vmap(cfg.augment)(keys, images)
+
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+            **cfg.apply_kwargs,
+        )
+        loss = cfg.loss_fn(outputs, labels)
+        if cfg.binary:
+            preds = (jax.nn.sigmoid(outputs) >= 0.5).astype(jnp.int32)
+        else:
+            preds = jnp.argmax(outputs, axis=-1)
+        conf = confusion_matrix(labels, preds, cfg.num_classes)
+        return loss, (mutated["batch_stats"], conf)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        (loss, (new_stats, conf)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "confusion": conf}
+
+    return train_step
+
+
+def make_eval_step(model, cfg: StepConfig):
+    """Build the eval step: (state, batch) -> metrics (loss + confusion)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        images = batch["samples"].astype(jnp.float32) / cfg.norm_scale
+        labels = batch[cfg.label_key]
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+            **cfg.apply_kwargs,
+        )
+        loss = cfg.loss_fn(outputs, labels)
+        if cfg.binary:
+            preds = (jax.nn.sigmoid(outputs) >= 0.5).astype(jnp.int32)
+        else:
+            preds = jnp.argmax(outputs, axis=-1)
+        conf = confusion_matrix(labels, preds, cfg.num_classes)
+        return {"loss": loss, "confusion": conf, "logits": outputs}
+
+    return eval_step
+
+
+def confusion_to_metrics(conf: np.ndarray) -> Dict[str, float]:
+    """accuracy / macro-F1 / per-class F1 from a confusion matrix (same
+    formulas as the reference ``_macro_f1``, 013:108-116)."""
+    conf = np.asarray(conf, dtype=np.float64)
+    tp = np.diag(conf)
+    support = conf.sum(axis=1)
+    predicted = conf.sum(axis=0)
+    precision = np.divide(tp, predicted, out=np.zeros_like(tp), where=predicted > 0)
+    recall = np.divide(tp, support, out=np.zeros_like(tp), where=support > 0)
+    denom = precision + recall
+    f1 = np.divide(2 * precision * recall, denom, out=np.zeros_like(tp), where=denom > 0)
+    total = conf.sum()
+    return {
+        "accuracy": float(tp.sum() / total) if total else 0.0,
+        "macro_f1": float(f1.mean()),
+        "per_class_f1": f1.tolist(),
+        "per_class_precision": precision.tolist(),
+        "per_class_recall": recall.tolist(),
+        "support": support.tolist(),
+    }
+
+
+def iterate_batches(
+    arrays: Mapping[str, np.ndarray],
+    indices: np.ndarray,
+    batch_size: int,
+    drop_remainder: bool = True,
+):
+    """Yield fixed-shape host batches gathered by ``indices``.
+
+    Fixed shapes keep one compiled executable alive; the final partial batch
+    is dropped in training (sampling is with replacement anyway) and padded
+    in evaluation by the caller.
+    """
+    total = len(indices)
+    usable = (total // batch_size) * batch_size if drop_remainder else total
+    for start in range(0, usable, batch_size):
+        idx = indices[start : start + batch_size]
+        yield {k: v[idx] for k, v in arrays.items()}
+
+
+def pad_to_multiple(arrays: Mapping[str, np.ndarray], batch_size: int):
+    """Pad a dataset dict to a batch multiple; returns (padded, valid_count).
+
+    Padding rows repeat row 0 but with labels = -1 so confusion/metrics
+    ignore them (labels < 0 contribute nothing)."""
+    n = len(next(iter(arrays.values())))
+    padded_n = ((n + batch_size - 1) // batch_size) * batch_size
+    if padded_n == n:
+        return dict(arrays), n
+    out = {}
+    for k, v in arrays.items():
+        pad = np.repeat(v[:1], padded_n - n, axis=0)
+        if k.startswith("label") or k in ("stage0", "stage1", "stage2"):
+            pad = np.full_like(pad, -1)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, n
+
+
+@dataclass
+class EpochResult:
+    loss: float
+    metrics: Dict[str, float]
+    seconds: float
+    samples: int
+
+    @property
+    def throughput(self) -> float:
+        return self.samples / self.seconds if self.seconds else 0.0
+
+
+def run_train_epoch(
+    train_step,
+    state: TrainState,
+    arrays: Mapping[str, np.ndarray],
+    batch_size: int,
+    rng_key,
+    epoch_seed: int,
+    num_classes: int,
+    balance_labels: Optional[np.ndarray] = None,
+    mesh=None,
+) -> Tuple[TrainState, EpochResult]:
+    """One epoch: host-side index sampling + device-side everything else."""
+    n = len(next(iter(arrays.values())))
+    if balance_labels is not None:
+        indices = balanced_epoch_indices(balance_labels, epoch_seed)
+    else:
+        indices = shuffled_epoch_indices(n, epoch_seed)
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    total_loss, steps, samples = 0.0, 0, 0
+    conf_sum = np.zeros((num_classes, num_classes))
+    start = time.perf_counter()
+    for batch in iterate_batches(arrays, indices, batch_size):
+        rng_key, step_key = jax.random.split(rng_key)
+        if sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        state, metrics = train_step(state, batch, step_key)
+        total_loss += float(metrics["loss"])
+        conf_sum += np.asarray(metrics["confusion"])
+        steps += 1
+        samples += batch_size
+    seconds = time.perf_counter() - start
+    return state, EpochResult(
+        loss=total_loss / max(steps, 1),
+        metrics=confusion_to_metrics(conf_sum),
+        seconds=seconds,
+        samples=samples,
+    )
+
+
+def run_eval(
+    eval_step,
+    state: TrainState,
+    arrays: Mapping[str, np.ndarray],
+    batch_size: int,
+    num_classes: int,
+    mesh=None,
+) -> EpochResult:
+    padded, valid = pad_to_multiple(dict(arrays), batch_size)
+    n = len(next(iter(padded.values())))
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    total_loss, steps = 0.0, 0
+    conf_sum = np.zeros((num_classes, num_classes))
+    start = time.perf_counter()
+    for batch in iterate_batches(
+        padded, np.arange(n), batch_size, drop_remainder=False
+    ):
+        if sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        metrics = eval_step(state, batch)
+        total_loss += float(metrics["loss"])
+        conf_sum += np.asarray(metrics["confusion"])
+        steps += 1
+    seconds = time.perf_counter() - start
+    return EpochResult(
+        loss=total_loss / max(steps, 1),
+        metrics=confusion_to_metrics(conf_sum),
+        seconds=seconds,
+        samples=valid,
+    )
+
+
+__all__ = [
+    "EpochResult",
+    "StepConfig",
+    "TrainState",
+    "confusion_matrix",
+    "confusion_to_metrics",
+    "iterate_batches",
+    "make_eval_step",
+    "make_train_step",
+    "pad_to_multiple",
+    "run_eval",
+    "run_train_epoch",
+]

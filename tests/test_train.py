@@ -1,0 +1,211 @@
+"""Trainer tests: a tiny model actually learns; ULMFiT freezing freezes;
+checkpoint round trip; backbone transplant."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from av1tpu.train import (
+    StepConfig,
+    TrainState,
+    adamw,
+    binary_focal_loss,
+    confusion_to_metrics,
+    cosine_schedule,
+    make_eval_step,
+    make_train_step,
+    restore_checkpoint,
+    run_eval,
+    run_train_epoch,
+    save_checkpoint,
+    transplant_backbone,
+    ulmfit_phase1,
+    ulmfit_phase2,
+)
+from av1tpu.train.trainer import pad_to_multiple
+
+
+class TinyModel(nn.Module):
+    """Small conv net (same module interface as the real models)."""
+
+    num_outputs: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(8, (3, 3), name="backbone_conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.7, name="backbone_bn"
+        )(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(self.num_outputs, name="head_dense")(x)
+        if self.num_outputs == 1:
+            x = jnp.squeeze(x, -1)
+        return x
+
+
+def make_synthetic(n=512, seed=0):
+    """Binary task: bright blocks are class 1 — linearly separable."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, size=n).astype(np.int32)
+    base = np.where(labels == 1, 700, 300)[:, None, None, None]
+    samples = (base + rng.normal(0, 50, size=(n, 8, 8, 1))).clip(0, 1023)
+    return {"samples": samples.astype(np.uint16), "stage1": labels}
+
+
+def test_training_learns_synthetic_task():
+    model = TinyModel()
+    data = make_synthetic()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1), jnp.float32)
+    )
+    optimizer = adamw(cosine_schedule(1e-2, 64))
+    state = TrainState.create(variables, optimizer)
+    cfg = StepConfig(
+        loss_fn=binary_focal_loss, label_key="stage1", binary=True, num_classes=2
+    )
+    train_step = make_train_step(model, optimizer, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    key = jax.random.PRNGKey(1)
+    for epoch in range(8):
+        state, result = run_train_epoch(
+            train_step, state, data, batch_size=64, rng_key=key,
+            epoch_seed=epoch, num_classes=2,
+        )
+    final = run_eval(eval_step, state, data, batch_size=64, num_classes=2)
+    assert final.metrics["accuracy"] > 0.95, final.metrics
+
+
+def test_balanced_sampling_path():
+    model = TinyModel()
+    data = make_synthetic(256)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    optimizer = adamw(1e-3)
+    state = TrainState.create(variables, optimizer)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+    step = make_train_step(model, optimizer, cfg)
+    state, result = run_train_epoch(
+        step, state, data, batch_size=32, rng_key=jax.random.PRNGKey(2),
+        epoch_seed=0, num_classes=2, balance_labels=data["stage1"],
+    )
+    assert np.isfinite(result.loss)
+
+
+def test_ulmfit_phase1_freezes_backbone():
+    model = TinyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    # copy before the step: the jitted step donates the state buffers
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    optimizer = ulmfit_phase1(variables["params"], head_lr=1e-2, total_steps=10,
+                              backbone_prefix="backbone")
+    state = TrainState.create(variables, optimizer)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+    step = make_train_step(model, optimizer, cfg)
+    data = make_synthetic(64)
+    batch = {k: v[:32] for k, v in data.items()}
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    # backbone params unchanged; head params changed
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone_conv"]["kernel"]),
+        np.asarray(params0["backbone_conv"]["kernel"]),
+    )
+    assert not np.array_equal(
+        np.asarray(state.params["head_dense"]["kernel"]),
+        np.asarray(params0["head_dense"]["kernel"]),
+    )
+
+
+def test_ulmfit_phase2_discriminative_lrs():
+    model = TinyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    optimizer = ulmfit_phase2(
+        variables["params"], head_lr=1e-2, backbone_lr=1e-6, total_steps=10,
+        backbone_prefix="backbone",
+    )
+    state = TrainState.create(variables, optimizer)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+    step = make_train_step(model, optimizer, cfg)
+    data = make_synthetic(64)
+    batch = {k: v[:32] for k, v in data.items()}
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    bb_delta = np.abs(
+        np.asarray(state.params["backbone_conv"]["kernel"])
+        - params0["backbone_conv"]["kernel"]
+    ).max()
+    head_delta = np.abs(
+        np.asarray(state.params["head_dense"]["kernel"])
+        - params0["head_dense"]["kernel"]
+    ).max()
+    assert bb_delta > 0  # backbone moves...
+    assert head_delta > bb_delta * 10  # ...but much less than the head
+
+
+def test_checkpoint_roundtrip_and_verify(tmp_path):
+    model = TinyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    optimizer = adamw(1e-3)
+    state = TrainState.create(variables, optimizer)
+    path = save_checkpoint(tmp_path / "ckpt", state, meta={"epoch": 3}, verify=True)
+    restored, meta = restore_checkpoint(path, state)
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head_dense"]["kernel"]),
+        np.asarray(state.params["head_dense"]["kernel"]),
+    )
+
+
+def test_checkpoint_restore_preserves_eval_metrics(tmp_path):
+    """Quirk-Q4 guard: metrics before save == metrics after restore."""
+    model = TinyModel()
+    data = make_synthetic(128)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    optimizer = adamw(1e-2)
+    state = TrainState.create(variables, optimizer)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+    step = make_train_step(model, optimizer, cfg)
+    state, _ = run_train_epoch(
+        step, state, data, 32, jax.random.PRNGKey(1), 0, 2
+    )
+    eval_step = make_eval_step(model, cfg)
+    before = run_eval(eval_step, state, data, 32, 2)
+    path = save_checkpoint(tmp_path / "ckpt", state, verify=True)
+    restored, _ = restore_checkpoint(path, state)
+    after = run_eval(eval_step, restored, data, 32, 2)
+    assert before.metrics["accuracy"] == after.metrics["accuracy"]
+    assert abs(before.loss - after.loss) < 1e-6
+
+
+def test_transplant_backbone():
+    model = TinyModel()
+    v1 = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 8, 8, 1)))
+    v2 = model.init(jax.random.PRNGKey(2), jnp.zeros((2, 8, 8, 1)))
+    merged = transplant_backbone(v2["params"], v1["params"], prefix="backbone_conv")
+    np.testing.assert_array_equal(
+        np.asarray(merged["backbone_conv"]["kernel"]),
+        np.asarray(v1["params"]["backbone_conv"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["head_dense"]["kernel"]),
+        np.asarray(v2["params"]["head_dense"]["kernel"]),
+    )
+
+
+def test_pad_to_multiple_marks_invalid():
+    arrays = {"samples": np.ones((5, 2, 2, 1)), "stage1": np.ones(5, np.int32)}
+    padded, valid = pad_to_multiple(arrays, 4)
+    assert valid == 5
+    assert len(padded["stage1"]) == 8
+    np.testing.assert_array_equal(padded["stage1"][5:], [-1, -1, -1])
+
+
+def test_confusion_metrics_formulas():
+    conf = np.array([[8, 2], [1, 9]])
+    m = confusion_to_metrics(conf)
+    assert abs(m["accuracy"] - 17 / 20) < 1e-9
+    prec1 = 9 / 11
+    rec1 = 9 / 10
+    f1_1 = 2 * prec1 * rec1 / (prec1 + rec1)
+    assert abs(m["per_class_f1"][1] - f1_1) < 1e-9
