@@ -1,0 +1,33 @@
+from av1tpu.eval.hierarchy import (  # noqa: F401
+    PipelineModels,
+    make_flatten_pipeline,
+    make_v5_pipeline,
+    make_v6_pipeline,
+    run_pipeline_batched,
+)
+from av1tpu.eval.metrics import (  # noqa: F401
+    best_by,
+    classification_report_text,
+    compute_binary_metrics,
+    compute_metrics,
+    confusion,
+    find_optimal_threshold,
+    roc_auc,
+    threshold_sweep,
+)
+from av1tpu.eval.ensemble import (  # noqa: F401
+    ensemble_diversity,
+    fit_stacking,
+    hard_vote,
+    predict_with_uncertainty,
+    soft_vote,
+    stacked_member_logits,
+    stacking_predict,
+    weighted_vote,
+)
+from av1tpu.eval.report import (  # noqa: F401
+    write_metrics_json,
+    write_predictions_csv,
+    write_predictions_npz,
+    write_text_report,
+)

@@ -1,0 +1,260 @@
+"""Eval tests: fused routing vs gather-based oracle, metrics vs sklearn,
+calibration, ensembles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from av1tpu.eval import (
+    PipelineModels,
+    best_by,
+    compute_binary_metrics,
+    compute_metrics,
+    ensemble_diversity,
+    find_optimal_threshold,
+    fit_stacking,
+    hard_vote,
+    make_flatten_pipeline,
+    make_v5_pipeline,
+    make_v6_pipeline,
+    predict_with_uncertainty,
+    roc_auc,
+    run_pipeline_batched,
+    soft_vote,
+    stacked_member_logits,
+    stacking_predict,
+    threshold_sweep,
+    weighted_vote,
+)
+
+
+class StubModel(nn.Module):
+    """Deterministic stand-in whose logits derive from pixel stats, so the
+    pipeline routing can be checked against an oracle without training."""
+
+    num_outputs: int
+    shift: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bias = self.param("bias", nn.initializers.zeros, (self.num_outputs,))
+        feats = jnp.stack(
+            [
+                jnp.mean(x, axis=(1, 2, 3)),
+                jnp.std(x, axis=(1, 2, 3)),
+                jnp.mean(jnp.abs(x - self.shift), axis=(1, 2, 3)),
+                jnp.max(x, axis=(1, 2, 3)),
+            ],
+            axis=-1,
+        )
+        kernel = self.param(
+            "kernel", nn.initializers.normal(1.0), (4, self.num_outputs)
+        )
+        out = feats @ kernel + bias
+        if self.num_outputs == 1:
+            out = jnp.squeeze(out, -1)
+        return out
+
+
+def make_stub(num_outputs, seed):
+    model = StubModel(num_outputs=num_outputs)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8, 8, 1)))
+    return model, variables
+
+
+def reference_routing_oracle(s1_prob, s2_logits, rect_logits, ab_logits, th):
+    """Literal transcription of the v6 gather-based routing
+    (008_run_pipeline_eval_v6.py:69-127)."""
+    n = len(s1_prob)
+    final = np.zeros(n, dtype=np.int64)
+    partition_idx = np.flatnonzero(s1_prob >= th)
+    if len(partition_idx) == 0:
+        return final
+    s2_pred = s2_logits[partition_idx].argmax(axis=1)
+    split_idx = partition_idx[s2_pred == 0]
+    final[split_idx] = 1
+    rect_idx = partition_idx[s2_pred == 1]
+    if len(rect_idx):
+        final[rect_idx] = rect_logits[rect_idx].argmax(axis=1) + 2
+    ab_idx = partition_idx[s2_pred == 2]
+    if len(ab_idx):
+        final[ab_idx] = ab_logits[ab_idx].argmax(axis=1) + 4
+    return final
+
+
+def test_v6_fused_routing_matches_gather_oracle():
+    s1_model, s1_vars = make_stub(1, 0)
+    s2_model, s2_vars = make_stub(3, 1)
+    r_model, r_vars = make_stub(2, 2)
+    a_model, a_vars = make_stub(4, 3)
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+    predict = make_v6_pipeline(models, stage1_threshold=0.45, norm_scale=1023.0)
+
+    samples = np.random.default_rng(0).integers(
+        0, 1024, size=(257, 8, 8, 1), dtype=np.uint16
+    )
+    out = run_pipeline_batched(predict, samples, batch_size=64)
+
+    x = jnp.asarray(samples.astype(np.float32) / 1023.0)
+    s1_prob = np.asarray(jax.nn.sigmoid(s1_model.apply(s1_vars, x)))
+    s2_logits = np.asarray(s2_model.apply(s2_vars, x))
+    rect_logits = np.asarray(r_model.apply(r_vars, x))
+    ab_logits = np.asarray(a_model.apply(a_vars, x))
+    want = reference_routing_oracle(s1_prob, s2_logits, rect_logits, ab_logits, 0.45)
+
+    np.testing.assert_array_equal(out["final"], want)
+    assert set(np.unique(out["final"])).issubset(set(range(8)))
+
+
+def test_v5_pipeline_fallback_semantics():
+    """Without RECT/AB checkpoints the v5 routing falls back to the group's
+    first member (013:233-237)."""
+    from av1tpu.models import HierarchicalModel
+
+    model = HierarchicalModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1)))
+    samples = np.random.default_rng(1).integers(
+        0, 1024, size=(32, 16, 16, 1), dtype=np.uint16
+    )
+    predict_all = make_v5_pipeline(model, variables, available_specialists=("RECT", "AB", "1TO4"))
+    predict_none = make_v5_pipeline(model, variables, available_specialists=())
+    out_all = predict_all(jnp.asarray(samples))
+    out_none = predict_none(jnp.asarray(samples))
+    final_none = np.asarray(out_none["final"])
+    s2 = np.asarray(out_none["stage2_pred"])
+    s1 = np.asarray(out_none["stage1_pred"])
+    # fallback: RECT -> HORZ(1), AB -> HORZ_A(4), 1TO4 -> HORZ_4(8)
+    mask_rect = (s1 == 1) & (s2 == 2)
+    assert np.all(final_none[mask_rect] == 1)
+    mask_ab = (s1 == 1) & (s2 == 3)
+    assert np.all(final_none[mask_ab] == 4)
+    # with specialists available predictions may use the full head range
+    assert np.asarray(out_all["final"]).shape == (32,)
+
+
+def test_flatten_pipeline_remap():
+    s1_model, s1_vars = make_stub(1, 5)
+    f_model, f_vars = make_stub(7, 6)
+    predict = make_flatten_pipeline(s1_model, s1_vars, f_model, f_vars)
+    samples = np.random.default_rng(2).integers(
+        0, 1024, size=(64, 8, 8, 1), dtype=np.uint16
+    )
+    out = predict(jnp.asarray(samples))
+    final = np.asarray(out["final"])
+    s1 = np.asarray(out["stage1_pred"])
+    flat = np.asarray(out["flatten_pred"])
+    np.testing.assert_array_equal(final[s1 == 0], 0)
+    # flatten id -> raw id map: [1,2,3,4,5,6,7]
+    want = np.array([1, 2, 3, 4, 5, 6, 7])[flat[s1 == 1]]
+    np.testing.assert_array_equal(final[s1 == 1], want)
+
+
+# ---------------------------------------------------------------------------
+# Metrics vs sklearn golden
+# ---------------------------------------------------------------------------
+
+def test_compute_metrics_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.metrics import accuracy_score, f1_score
+
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(0, 4, size=500)
+    y_pred = rng.integers(0, 4, size=500)
+    m = compute_metrics(y_true, y_pred)
+    assert abs(m["accuracy"] - accuracy_score(y_true, y_pred)) < 1e-12
+    assert abs(m["macro_f1"] - f1_score(y_true, y_pred, average="macro")) < 1e-12
+    assert abs(m["weighted_f1"] - f1_score(y_true, y_pred, average="weighted")) < 1e-12
+
+
+def test_auc_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 2, size=300)
+    p = rng.uniform(size=300)
+    assert abs(roc_auc(y, p) - roc_auc_score(y, p)) < 1e-9
+    # with ties
+    p_tied = np.round(p, 1)
+    assert abs(roc_auc(y, p_tied) - roc_auc_score(y, p_tied)) < 1e-9
+
+
+def test_threshold_sweep_grid():
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 2, size=400)
+    p = np.clip(y * 0.4 + rng.uniform(size=400) * 0.6, 0, 1)
+    sweep = threshold_sweep(y, p)
+    assert len(sweep) == 7  # 0.40..0.70 step 0.05
+    assert [round(m["threshold"], 2) for m in sweep] == [
+        0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7
+    ]
+    best = best_by(sweep)
+    assert best["recall"]["threshold"] <= best["precision"]["threshold"]
+
+
+def test_find_optimal_threshold():
+    y = np.array([0, 0, 1, 1])
+    p = np.array([0.1, 0.4, 0.6, 0.9])
+    th, m = find_optimal_threshold(y, p)
+    assert m["f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Ensembles
+# ---------------------------------------------------------------------------
+
+def test_votes():
+    # 3 members, 2 samples, 3 classes
+    logits = np.array([
+        [[5.0, 0, 0], [0, 5.0, 0]],
+        [[5.0, 0, 0], [0, 0, 5.0]],
+        [[0, 5.0, 0], [0, 0, 5.0]],
+    ])
+    np.testing.assert_array_equal(hard_vote(logits), [0, 2])
+    assert soft_vote(logits).shape == (2,)
+    np.testing.assert_array_equal(
+        weighted_vote(logits, [1.0, 0.0, 0.0]), [0, 1]
+    )
+
+
+def test_uncertainty():
+    logits = np.random.default_rng(0).normal(size=(3, 10, 4))
+    out = predict_with_uncertainty(logits)
+    assert out["predictions"].shape == (10,)
+    assert np.all((out["agreement"] >= 0) & (out["agreement"] <= 1))
+
+
+def test_stacking_learns_to_trust_good_member():
+    rng = np.random.default_rng(0)
+    n = 400
+    labels = rng.integers(0, 3, size=n)
+    good = np.eye(3)[labels] * 4 + rng.normal(0, 0.5, (n, 3))
+    bad = rng.normal(size=(n, 3))
+    member_logits = np.stack([bad, good])
+    w = fit_stacking(member_logits, labels, steps=300)
+    preds = stacking_predict(member_logits, w)
+    assert (preds == labels).mean() > 0.9
+
+
+def test_diversity():
+    logits = np.array([
+        [[1.0, 0], [1.0, 0]],
+        [[1.0, 0], [0, 1.0]],
+    ])
+    d = ensemble_diversity(logits)
+    assert d["pairwise_disagreement"]["0-1"] == 0.5
+
+
+def test_stacked_member_logits_vmap():
+    model, v1 = make_stub(3, 10)
+    _, v2 = make_stub(3, 11)
+    _, v3 = make_stub(3, 12)
+    images = np.random.default_rng(3).normal(size=(20, 8, 8, 1)).astype(np.float32)
+    out = stacked_member_logits(model, [v1, v2, v3], images, batch_size=16)
+    assert out.shape == (3, 20, 3)
+    # member 0 must equal a direct forward
+    direct = np.asarray(model.apply(v1, jnp.asarray(images[:16])))
+    np.testing.assert_allclose(out[0, :16], direct, rtol=1e-5)
