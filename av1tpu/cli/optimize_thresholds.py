@@ -1,0 +1,77 @@
+"""CLI: stage-1 threshold calibration (replaces v6 scripts/007):
+
+    python -m av1tpu.cli.optimize_thresholds \
+        --dataset-dir data/v6_dataset --block-size 16 \
+        --stage1-checkpoint runs/stage1/stage1_best_variables.npz \
+        --output-dir runs/calibration
+
+Sweeps the [0.4, 0.7] grid (step 0.05) over stage-1 sigmoid probabilities
+on the validation split, emits the per-threshold CSV and a best-by-metric
+JSON summary like the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.cli.common import load_model_variables, load_split
+from av1tpu.eval.metrics import best_by, threshold_sweep
+from av1tpu.models import Stage1Model
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset-dir", type=Path, required=True)
+    parser.add_argument("--block-size", type=int, default=16)
+    parser.add_argument("--stage1-checkpoint", type=Path, required=True)
+    parser.add_argument("--output-dir", type=Path, required=True)
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--grid", type=float, nargs=3, default=(0.40, 0.70, 0.05),
+                        metavar=("START", "STOP", "STEP"))
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    _, val_b, _ = load_split(args.dataset_dir, args.block_size)
+    variables = load_model_variables(args.stage1_checkpoint)
+    model = Stage1Model(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    @jax.jit
+    def probs_fn(x):
+        logits = model.apply(variables, x, train=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    n = len(val_b)
+    probs = np.zeros(n, dtype=np.float32)
+    bs = args.batch_size
+    for start in range(0, n, bs):
+        chunk = val_b.samples[start : start + bs]
+        pad = bs - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
+        x = jnp.asarray(chunk.astype(np.float32) / 1023.0)
+        probs[start : start + bs - pad] = np.asarray(probs_fn(x))[: bs - pad]
+
+    labels = val_b.labels["stage1"]
+    sweep = threshold_sweep(labels, probs, *args.grid)
+    summary = best_by(sweep)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with (out / "threshold_sweep.csv").open("w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(sweep[0].keys()))
+        writer.writeheader()
+        writer.writerows(sweep)
+    (out / "threshold_summary.json").write_text(json.dumps(summary, indent=2))
+
+    print(json.dumps(summary["f1"], indent=2))
+    print(f"best-by-f1 threshold: {summary['f1']['threshold']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""CLI: end-to-end hierarchical pipeline evaluation.
+
+Replaces v5 013_run_pipeline_eval, v6 scripts/008, and the flatten 008b —
+one fused batched inference graph per variant:
+
+    python -m av1tpu.cli.run_pipeline_eval --variant v6 \
+        --dataset-dir data/v6_dataset --block-size 16 \
+        --stage1-checkpoint runs/stage1/stage1_best_variables.npz \
+        --stage2-checkpoint runs/stage2/stage2_best_variables.npz \
+        --stage3-rect-checkpoint runs/rect/stage3_rect_best_variables.npz \
+        --stage3-ab-checkpoint runs/ab/stage3_ab_fgvc_best_variables.npz \
+        --output-dir runs/pipeline_eval
+
+Emits JSON metrics + NPZ predictions + CSV per-sample records + text report
+(the reference's output contract) and a throughput figure.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.cli.common import load_model_variables, load_split
+from av1tpu.codec.partitions import PARTITION_ID_TO_NAME, V6_EVAL_CLASS_NAMES
+from av1tpu.eval import (
+    PipelineModels,
+    compute_binary_metrics,
+    compute_metrics,
+    make_flatten_pipeline,
+    make_v5_pipeline,
+    make_v6_pipeline,
+    run_pipeline_batched,
+    write_metrics_json,
+    write_predictions_csv,
+    write_predictions_npz,
+    write_text_report,
+)
+from av1tpu.models import (
+    FGVCModel,
+    HierarchicalModel,
+    Stage1Model,
+    Stage2FlatModel,
+    Stage2Model,
+    Stage3ABModel,
+    Stage3RectModel,
+)
+
+
+def build_v6(args, dtype):
+    def load(path, model_cls):
+        variables = load_model_variables(path)
+        variables.pop("centers", None)
+        return model_cls(dtype=dtype), variables
+
+    s1, s1v = load(args.stage1_checkpoint, Stage1Model)
+    s2, s2v = load(args.stage2_checkpoint, Stage2Model)
+    s3r, s3rv = load(args.stage3_rect_checkpoint, Stage3RectModel)
+    ab_cls = FGVCModel if args.ab_fgvc else Stage3ABModel
+    s3a, s3av = load(args.stage3_ab_checkpoint, ab_cls)
+    models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+    return make_v6_pipeline(
+        models, stage1_threshold=args.stage1_threshold, input_dtype=dtype
+    )
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--variant", choices=("v5", "v6", "flatten"), default="v6")
+    parser.add_argument("--dataset-dir", type=Path, required=True)
+    parser.add_argument("--block-size", type=int, default=16)
+    parser.add_argument("--split", choices=("train", "val"), default="val")
+    parser.add_argument("--output-dir", type=Path, required=True)
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--stage1-threshold", type=float, default=0.45)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--csv", action="store_true",
+                        help="also write per-sample CSV records")
+    # v6 checkpoints
+    parser.add_argument("--stage1-checkpoint", type=Path)
+    parser.add_argument("--stage2-checkpoint", type=Path)
+    parser.add_argument("--stage3-rect-checkpoint", type=Path)
+    parser.add_argument("--stage3-ab-checkpoint", type=Path)
+    parser.add_argument("--ab-fgvc", action="store_true", default=True)
+    parser.add_argument("--no-ab-fgvc", dest="ab_fgvc", action="store_false")
+    # flatten
+    parser.add_argument("--flatten-checkpoint", type=Path)
+    # v5
+    parser.add_argument("--v5-checkpoint", type=Path,
+                        help="merged multi-head model variables npz")
+    parser.add_argument("--available-specialists", nargs="*",
+                        default=["RECT", "AB", "1TO4"])
+    args = parser.parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    train_b, val_b, _ = load_split(args.dataset_dir, args.block_size)
+    bundle = val_b if args.split == "val" else train_b
+
+    if args.variant == "v6":
+        for req in ("stage1_checkpoint", "stage2_checkpoint",
+                    "stage3_rect_checkpoint", "stage3_ab_checkpoint"):
+            if getattr(args, req) is None:
+                parser.error(f"--{req.replace('_', '-')} required for v6")
+        predict = build_v6(args, dtype)
+        class_names = list(V6_EVAL_CLASS_NAMES)
+        label_space = 8
+    elif args.variant == "flatten":
+        s1_vars = load_model_variables(args.stage1_checkpoint)
+        flat_vars = load_model_variables(args.flatten_checkpoint)
+        predict = make_flatten_pipeline(
+            Stage1Model(dtype=dtype), s1_vars,
+            Stage2FlatModel(dtype=dtype), flat_vars,
+            stage1_threshold=args.stage1_threshold,
+        )
+        class_names = list(V6_EVAL_CLASS_NAMES)
+        label_space = 8
+    else:
+        v5_vars = load_model_variables(args.v5_checkpoint)
+        predict = make_v5_pipeline(
+            HierarchicalModel(), v5_vars,
+            stage1_threshold=args.stage1_threshold,
+            available_specialists=tuple(args.available_specialists),
+        )
+        class_names = [PARTITION_ID_TO_NAME[i] for i in range(10)]
+        label_space = 10
+
+    start = time.perf_counter()
+    out = run_pipeline_batched(predict, bundle.samples, args.batch_size)
+    seconds = time.perf_counter() - start
+    throughput = len(bundle) / seconds
+
+    labels = np.clip(bundle.labels["stage0"], 0, label_space - 1)
+    final = out["final"]
+    metrics = compute_metrics(labels, final, labels=class_names)
+
+    stage1_metrics = compute_binary_metrics(
+        bundle.labels["stage1"], out["stage1_prob"], args.stage1_threshold
+    )
+
+    payload = {
+        "variant": args.variant,
+        "split": args.split,
+        "threshold": args.stage1_threshold,
+        "samples": len(bundle),
+        "throughput_superblocks_per_sec": throughput,
+        "metrics": metrics,
+        "stage1": stage1_metrics,
+    }
+    out_dir = Path(args.output_dir)
+    write_metrics_json(out_dir / f"pipeline_metrics_{args.split}.json", payload)
+    write_predictions_npz(
+        out_dir / f"pipeline_predictions_{args.split}.npz",
+        final, labels, class_names, stage1_prob=out["stage1_prob"],
+    )
+    if args.csv:
+        rows = [
+            {
+                "index": i,
+                "true": class_names[int(labels[i])],
+                "pred": class_names[int(final[i])],
+                "stage1_prob": float(out["stage1_prob"][i]),
+            }
+            for i in range(len(final))
+        ]
+        write_predictions_csv(out_dir / f"pipeline_predictions_{args.split}.csv", rows)
+    write_text_report(
+        out_dir / f"pipeline_report_{args.split}.txt",
+        f"av1tpu {args.variant} pipeline evaluation",
+        metrics,
+        extra_lines=[
+            f"split: {args.split}",
+            f"stage-1 threshold: {args.stage1_threshold}",
+            f"samples: {len(bundle)}",
+            f"throughput: {throughput:,.0f} superblocks/sec",
+        ],
+    )
+    print(json.dumps({
+        "accuracy": metrics["accuracy"],
+        "macro_f1": metrics["macro_f1"],
+        "stage1_f1": stage1_metrics["f1"],
+        "throughput_superblocks_per_sec": round(throughput, 1),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

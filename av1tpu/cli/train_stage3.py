@@ -1,0 +1,218 @@
+"""CLI: stage-3 specialist trainers — RECT, AB-FGVC, AB ensemble.
+
+Replaces v6 scripts/005 (RECT + noise injection), 006 (AB FGVC with
+CutMix/center loss), the archived 006 ensemble trainer, and v5 012:
+
+    python -m av1tpu.cli.train_stage3 --head RECT \
+        --dataset-dir data/v6_stage3 --output-dir runs/stage3_rect \
+        [--noise-ratio 0.25 --noise-dataset-dir data/v6_dataset]
+    python -m av1tpu.cli.train_stage3 --head AB --fgvc ...
+    python -m av1tpu.cli.train_stage3 --head AB --ensemble 3 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.cli.common import (
+    add_common_train_args,
+    export_best,
+    load_model_variables,
+    make_cli_mesh,
+    write_history,
+)
+from av1tpu.data.bundles import Bundle, class_counts, filter_stage2_v6, filter_stage3
+from av1tpu.data.noise import build_noisy_bundle
+from av1tpu.models import FGVCModel
+from av1tpu.train import adamw, cosine_schedule
+from av1tpu.train.checkpoint import save_variables_npz
+from av1tpu.train.fgvc_step import (
+    create_fgvc_state,
+    make_fgvc_eval_step,
+    make_fgvc_train_step,
+)
+from av1tpu.train.stages import (
+    squared_inverse_freq_weights,
+    stage3_ab_ensemble_recipe,
+    stage3_ab_fgvc_recipe,
+    stage3_rect_recipe,
+    train_stage,
+    v5_stage3_recipe,
+)
+from av1tpu.train.trainer import confusion_to_metrics, run_eval, run_train_epoch
+
+
+def load_head_split(dataset_dir: Path, head: str, block_size: int, member: int = 0):
+    root = Path(dataset_dir) / head / f"block_{block_size}"
+    train_name = f"train_v{member}.npz" if member else "train.npz"
+    return Bundle.load(root / train_name), Bundle.load(root / "val.npz")
+
+
+def train_fgvc(args, train_b, val_b, mesh) -> None:
+    """The production AB path: FGVC model + CutMix CE + center loss."""
+    model = FGVCModel(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    steps_per_epoch = max(len(train_b) // args.batch_size, 1)
+    epochs = args.epochs or 30
+    optimizer = adamw(
+        cosine_schedule(args.lr or 1e-3, epochs * steps_per_epoch), grad_clip=1.0
+    )
+    state = create_fgvc_state(
+        model, optimizer, jax.random.PRNGKey(args.seed),
+        input_shape=(args.block_size, args.block_size, 1),
+    )
+    train_step = make_fgvc_train_step(model, optimizer)
+    eval_step = make_fgvc_eval_step(model)
+
+    arrays = {"samples": train_b.samples, "stage3_AB": train_b.labels["stage3_AB"]}
+    val_arrays = {"samples": val_b.samples, "stage3_AB": val_b.labels["stage3_AB"]}
+    key = jax.random.PRNGKey(args.seed + 1)
+    best, history = -np.inf, []
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    for epoch in range(epochs):
+        key, ek = jax.random.split(key)
+        state, tr = run_train_epoch(
+            train_step, state, arrays, args.batch_size, ek, args.seed + epoch,
+            num_classes=4, balance_labels=arrays["stage3_AB"], mesh=mesh,
+        )
+        ev = run_eval(eval_step, state, val_arrays, args.batch_size, 4, mesh=mesh)
+        value = ev.metrics["macro_f1"]
+        history.append({"epoch": epoch, "train_loss": tr.loss,
+                        "val_metrics": ev.metrics})
+        print(f"[stage3_ab_fgvc] epoch {epoch}: loss={tr.loss:.4f} "
+              f"val_macro_f1={value:.4f}")
+        if value > best:
+            best = value
+            save_variables_npz(
+                args.output_dir / "stage3_ab_fgvc_best_variables.npz",
+                {"params": state.params["model"],
+                 "batch_stats": state.batch_stats,
+                 "centers": {"centers": state.params["centers"]}},
+            )
+    (args.output_dir / "stage3_ab_fgvc_history.json").write_text(
+        json.dumps(history, indent=2)
+    )
+    print(f"best val macro_f1: {best:.4f}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_train_args(parser)
+    parser.add_argument("--head", choices=("RECT", "AB", "1TO4"), required=True)
+    parser.add_argument("--variant", choices=("v5", "v6"), default="v6")
+    parser.add_argument("--fgvc", action="store_true",
+                        help="AB only: FGVC stack with CutMix + center loss")
+    parser.add_argument("--ensemble", type=int, default=0,
+                        help="AB only: train N plain members on train_vN sets")
+    parser.add_argument("--noise-ratio", type=float, default=0.0,
+                        help="adversarial noise-injection fraction")
+    parser.add_argument("--noise-dataset-dir", type=Path, default=None,
+                        help="v6 dataset dir supplying noise source samples")
+    parser.add_argument("--stage2-checkpoint", type=Path, default=None)
+    args = parser.parse_args(argv)
+
+    mesh = make_cli_mesh(args.num_model_shards)
+    train_b, val_b = load_head_split(args.dataset_dir, args.head, args.block_size)
+    label_key = f"stage3_{args.head}"
+    num_classes = 4 if args.head == "AB" else 2
+
+    if args.noise_ratio > 0:
+        if args.noise_dataset_dir is None:
+            parser.error("--noise-ratio requires --noise-dataset-dir")
+        from av1tpu.cli.common import load_split
+
+        full_train, _, _ = load_split(args.noise_dataset_dir, args.block_size)
+        # noise sources: the *other* partition families (005:38-122)
+        sources = []
+        other = {"RECT": ("AB", "SPLIT"), "AB": ("RECT", "SPLIT")}[args.head]
+        for fam in other:
+            if fam == "SPLIT":
+                src = full_train.take(
+                    np.flatnonzero(full_train.labels["stage2"] == 0)
+                )
+            else:
+                src = filter_stage3(full_train, fam)
+            if len(src):
+                sources.append(src)
+        train_b = build_noisy_bundle(
+            train_b, sources, label_key=label_key,
+            num_label_classes=num_classes,
+            noise_ratio=args.noise_ratio, seed=args.seed,
+        )
+        print(f"noise injection: ratio={args.noise_ratio}, "
+              f"total={len(train_b)} samples")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    steps_per_epoch = max(len(train_b) // args.batch_size, 1)
+
+    if args.head == "AB" and args.fgvc:
+        train_fgvc(args, train_b, val_b, mesh)
+        return
+
+    if args.head == "AB" and args.ensemble:
+        for member in range(1, args.ensemble + 1):
+            m_train, m_val = load_head_split(
+                args.dataset_dir, "AB", args.block_size, member=member
+            )
+            recipe = stage3_ab_ensemble_recipe(
+                seed_offset=member, batch_size=args.batch_size,
+                steps_per_epoch=max(len(m_train) // args.batch_size, 1),
+            )
+            recipe = replace(
+                recipe, input_shape=(args.block_size, args.block_size, 1)
+            )
+            result = train_stage(
+                recipe, m_train, m_val, seed=args.seed + 100 * member,
+                mesh=mesh, checkpoint_dir=args.output_dir,
+            )
+            export_best(result, recipe.name, args.output_dir)
+            write_history(result, args.output_dir, recipe.name)
+        return
+
+    if args.variant == "v5":
+        weights = squared_inverse_freq_weights(
+            train_b.labels[label_key], num_classes
+        )
+        recipe = v5_stage3_recipe(
+            args.head, weights, epochs=args.epochs or 20,
+            lr=args.lr or 5e-4, batch_size=args.batch_size,
+            steps_per_epoch=steps_per_epoch,
+        )
+    elif args.head == "RECT":
+        counts = class_counts(train_b.labels[label_key], 2)
+        weights = np.asarray(counts, np.float64)
+        weights = (weights.sum() / np.maximum(weights, 1))
+        weights = weights / weights.sum() * 2
+        recipe = stage3_rect_recipe(
+            class_weights=weights,
+            unfreeze_epochs=(args.epochs or 30) - 5,
+            head_lr=args.lr or 1e-3,
+            batch_size=args.batch_size,
+            steps_per_epoch=steps_per_epoch,
+            dtype=dtype,
+        )
+    else:
+        recipe = stage3_ab_fgvc_recipe(
+            unfreeze_epochs=(args.epochs or 30) - 5,
+            head_lr=args.lr or 1e-3,
+            batch_size=args.batch_size,
+            steps_per_epoch=steps_per_epoch,
+            dtype=dtype,
+        )
+    recipe = replace(recipe, input_shape=(args.block_size, args.block_size, 1))
+    result = train_stage(
+        recipe, train_b, val_b, seed=args.seed, mesh=mesh,
+        checkpoint_dir=args.output_dir,
+    )
+    export_best(result, recipe.name, args.output_dir)
+    write_history(result, args.output_dir, recipe.name)
+    print(f"best val {recipe.best_metric}: {result.best_value:.4f}")
+
+
+if __name__ == "__main__":
+    main()

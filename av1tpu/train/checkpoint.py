@@ -106,8 +106,46 @@ def transplant_backbone(
     return target
 
 
+def save_variables_npz(path: Path, variables: Dict[str, Any]) -> Path:
+    """Template-free flat save of model variables (params/batch_stats).
+
+    Keys are slash-joined tree paths; loading reconstructs the nested dicts
+    without needing a model template — the load path every inference CLI
+    uses. (Orbax holds the full TrainState for training resume; this holds
+    just the model.)
+    """
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            for key, value in node.items():
+                walk(prefix + (str(key),), value)
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk((), variables)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def load_variables_npz(path: Path) -> Dict[str, Any]:
+    with np.load(Path(path)) as z:
+        tree: Dict[str, Any] = {}
+        for key in z.files:
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = z[key]
+    return tree
+
+
 __all__ = [
+    "load_variables_npz",
     "restore_checkpoint",
     "save_checkpoint",
+    "save_variables_npz",
     "transplant_backbone",
 ]

@@ -62,9 +62,14 @@ def class_balanced_focal_loss(
     weight enters exactly like torch ``F.cross_entropy(weight=...)``: it
     scales each sample's CE by ``weight[target]``.
     """
+    import numpy as np
+
+    # Static host-side computation: the class weights are a compile-time
+    # constant (the torch reference registers them as a buffer).
     weights = jnp.asarray(
-        effective_number_weights(jnp.asarray(samples_per_class), beta)
-    ).astype(logits.dtype)
+        effective_number_weights(np.asarray(samples_per_class), beta),
+        dtype=logits.dtype,
+    )
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
     ce = ce * weights[targets]
     probs = jax.nn.softmax(logits, axis=-1)

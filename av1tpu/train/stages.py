@@ -1,0 +1,677 @@
+"""Per-stage training recipes — the capability surface of the reference's
+trainer scripts as composable configs over the generic fused trainer.
+
+Each ``*_recipe`` function reproduces one reference script's training
+semantics (loss, sampler, schedule, freeze phases, transplant source,
+stopping rule); ``train_stage`` executes a recipe: multi-phase optimizer
+(ULMFiT), balanced/oversampled epochs, best-metric Orbax checkpointing with
+round-trip verification, early stopping, metrics history JSON.
+
+Reference scripts covered (pesquisa_v6/scripts unless noted):
+  003_train_stage1_improved.py      -> stage1_recipe
+  004_train_stage2_redesigned.py    -> stage2_recipe (ULMFiT / scratch /
+                                       adapters via options)
+  004b_train_stage2_flat_7classes.py-> flatten_recipe
+  004c_train_stage2_pipeline_aware  -> filter_through_stage1 + stage2_recipe
+  005_train_stage3_rect.py          -> stage3_rect_recipe (+noise injection)
+  006_train_stage3_ab_fgvc.py       -> stage3_ab_fgvc_recipe
+  006_..._ensemble_reference.py     -> stage3_ab_ensemble_recipe
+  pesquisa_v5/009/010/012           -> v5_stage1/2/3_recipe
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.data.bundles import Bundle, class_counts
+from av1tpu.models import (
+    FGVCModel,
+    HierarchicalModel,
+    Stage1Model,
+    Stage2FlatModel,
+    Stage2Model,
+    Stage2ModelWithAdapters,
+    Stage3ABModel,
+    Stage3RectModel,
+    center_loss,
+)
+from av1tpu.train.augment import (
+    get_augmentation,
+    stage1_augment,
+    stage2_augment,
+    stage3_ab_augment,
+    stage3_rect_augment,
+)
+from av1tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    transplant_backbone,
+)
+from av1tpu.train.losses import (
+    binary_focal_loss,
+    class_balanced_focal_loss,
+    multiclass_focal_loss,
+    stage1_focal_bce_v5,
+    weighted_ce_label_smoothing,
+)
+from av1tpu.train.schedules import adamw, cosine_schedule, onecycle_schedule, ulmfit_phase1, ulmfit_phase2
+from av1tpu.train.trainer import (
+    EpochResult,
+    StepConfig,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+    run_eval,
+    run_train_epoch,
+)
+
+
+@dataclass
+class Phase:
+    """One optimizer phase: epochs + an optimizer factory over params."""
+
+    epochs: int
+    make_optimizer: Callable  # params -> optax transform
+    name: str = "phase"
+
+
+@dataclass
+class StageRecipe:
+    """Everything needed to train one stage."""
+
+    name: str
+    model: Any
+    label_key: str
+    num_classes: int
+    loss_fn: Callable
+    phases: List[Phase]
+    binary: bool = False
+    augment: Optional[Callable] = None
+    augment_labeled: Optional[Callable] = None
+    balance: bool = False
+    best_metric: str = "macro_f1"
+    early_stop_patience: Optional[int] = None
+    batch_size: int = 256
+    input_shape: Tuple[int, int, int] = (16, 16, 1)
+    apply_kwargs: Mapping[str, Any] = field(default_factory=dict)
+    extra_loss: Optional[Callable] = None  # reserved for composite losses
+    logits_fn: Optional[Callable] = None   # structured outputs -> logits
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    best_state: TrainState
+    best_value: float
+    history: List[Dict]
+
+    def save_history(self, path: Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self.history, indent=2))
+
+
+def _bundle_arrays(bundle: Bundle, label_key: str) -> Dict[str, np.ndarray]:
+    return {"samples": bundle.samples, label_key: bundle.labels[label_key]}
+
+
+def train_stage(
+    recipe: StageRecipe,
+    train_bundle: Bundle,
+    val_bundle: Bundle,
+    seed: int = 42,
+    mesh=None,
+    init_params=None,
+    init_batch_stats=None,
+    checkpoint_dir: Optional[Path] = None,
+    log: Callable[[str], None] = print,
+) -> TrainResult:
+    """Run all phases of a recipe; returns final and best states."""
+    model = recipe.model
+    key = jax.random.PRNGKey(seed)
+    init_key, train_key = jax.random.split(key)
+
+    dummy = jnp.zeros((2, *recipe.input_shape), jnp.float32)
+    variables = model.init(init_key, dummy, **dict(recipe.apply_kwargs))
+    if init_params is not None:
+        variables = dict(variables)
+        variables["params"] = init_params
+    if init_batch_stats is not None:
+        variables = dict(variables)
+        variables["batch_stats"] = init_batch_stats
+
+    arrays = _bundle_arrays(train_bundle, recipe.label_key)
+    val_arrays = _bundle_arrays(val_bundle, recipe.label_key)
+    balance_labels = arrays[recipe.label_key] if recipe.balance else None
+
+    cfg = StepConfig(
+        loss_fn=recipe.loss_fn,
+        label_key=recipe.label_key,
+        augment=recipe.augment,
+        augment_labeled=recipe.augment_labeled,
+        binary=recipe.binary,
+        num_classes=recipe.num_classes,
+        apply_kwargs=dict(recipe.apply_kwargs),
+        logits_fn=recipe.logits_fn,
+    )
+    eval_step = make_eval_step(model, cfg)
+
+    history: List[Dict] = []
+    best_value = -np.inf
+    best_state = None
+    state = None
+    epoch_global = 0
+    no_improve = 0
+
+    for phase in recipe.phases:
+        params_for_opt = state.params if state is not None else variables["params"]
+        optimizer = phase.make_optimizer(params_for_opt)
+        if state is None:
+            state = TrainState.create(variables, optimizer)
+        else:
+            # new phase: fresh optimizer state over current params
+            state = TrainState(
+                step=state.step,
+                params=state.params,
+                batch_stats=state.batch_stats,
+                opt_state=optimizer.init(state.params),
+            )
+        train_step = make_train_step(model, optimizer, cfg)
+        log(f"[{recipe.name}] phase '{phase.name}': {phase.epochs} epochs")
+
+        for _ in range(phase.epochs):
+            train_key, epoch_key = jax.random.split(train_key)
+            state, tr = run_train_epoch(
+                train_step, state, arrays, recipe.batch_size, epoch_key,
+                epoch_seed=seed + epoch_global, num_classes=recipe.num_classes,
+                balance_labels=balance_labels, mesh=mesh,
+            )
+            ev = run_eval(
+                eval_step, state, val_arrays, recipe.batch_size,
+                recipe.num_classes, mesh=mesh,
+            )
+            value = ev.metrics[recipe.best_metric]
+            record = {
+                "epoch": epoch_global,
+                "phase": phase.name,
+                "train_loss": tr.loss,
+                "train_metrics": tr.metrics,
+                "val_loss": ev.loss,
+                "val_metrics": ev.metrics,
+                "train_seconds": tr.seconds,
+                "throughput": tr.throughput,
+            }
+            history.append(record)
+            log(
+                f"[{recipe.name}] epoch {epoch_global}: "
+                f"train_loss={tr.loss:.4f} val_{recipe.best_metric}={value:.4f} "
+                f"({tr.throughput:.0f} samples/s)"
+            )
+            if value > best_value:
+                best_value = value
+                best_state = jax.tree_util.tree_map(np.asarray, state)
+                no_improve = 0
+                if checkpoint_dir is not None:
+                    save_checkpoint(
+                        Path(checkpoint_dir) / f"{recipe.name}_best",
+                        state,
+                        meta={
+                            "epoch": epoch_global,
+                            "metric": recipe.best_metric,
+                            "value": float(value),
+                        },
+                        verify=True,
+                    )
+            else:
+                no_improve += 1
+            epoch_global += 1
+            if (
+                recipe.early_stop_patience is not None
+                and no_improve >= recipe.early_stop_patience
+            ):
+                log(f"[{recipe.name}] early stop (patience "
+                    f"{recipe.early_stop_patience})")
+                break
+        else:
+            continue
+        break
+
+    if checkpoint_dir is not None and state is not None:
+        save_checkpoint(
+            Path(checkpoint_dir) / f"{recipe.name}_final", state,
+            meta={"epoch": epoch_global}, verify=True,
+        )
+    return TrainResult(
+        state=state, best_state=best_state, best_value=float(best_value),
+        history=history,
+    )
+
+
+# ---------------------------------------------------------------------------
+# v6 recipes
+# ---------------------------------------------------------------------------
+
+def stage1_recipe(
+    epochs: int = 30, lr: float = 1e-3, batch_size: int = 256,
+    alpha: float = 0.25, gamma: float = 2.5, weight_decay: float = 1e-2,
+    steps_per_epoch: int = 500, dtype=jnp.float32,
+) -> StageRecipe:
+    """v6 stage-1: focal loss, balanced sampler, AdamW + cosine, best-F1
+    (parity: 003_train_stage1_improved.py:211-302)."""
+    total = epochs * steps_per_epoch
+    return StageRecipe(
+        name="stage1",
+        model=Stage1Model(dtype=dtype),
+        label_key="stage1",
+        num_classes=2,
+        binary=True,
+        loss_fn=lambda lo, ta: binary_focal_loss(lo, ta, alpha, gamma),
+        augment=stage1_augment,
+        balance=True,
+        phases=[Phase(epochs, lambda p: adamw(
+            cosine_schedule(lr, total), weight_decay), "cosine")],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+    )
+
+
+def stage2_recipe(
+    samples_per_class: Sequence[int],
+    freeze_epochs: int = 5,
+    unfreeze_epochs: int = 25,
+    head_lr: float = 5e-4,
+    backbone_lr: float = 1e-6,
+    batch_size: int = 256,
+    beta: float = 0.9999,
+    gamma: float = 2.0,
+    steps_per_epoch: int = 500,
+    scratch: bool = False,
+    use_adapters: bool = False,
+    dtype=jnp.float32,
+) -> StageRecipe:
+    """v6 stage-2: CB-focal + ULMFiT two-phase (parity: 004:353-431).
+
+    ``scratch=True`` trains one phase without freezing (the 37.38% F1
+    baseline experiment); ``use_adapters`` swaps in the adapter model with a
+    permanently frozen backbone (Exp 11A).
+    """
+    loss = lambda lo, ta: class_balanced_focal_loss(
+        lo, ta, list(samples_per_class), beta, gamma
+    )
+    if use_adapters:
+        model = Stage2ModelWithAdapters(dtype=dtype)
+        total = (freeze_epochs + unfreeze_epochs) * steps_per_epoch
+        phases = [
+            Phase(
+                freeze_epochs + unfreeze_epochs,
+                lambda p: ulmfit_phase1(
+                    p, head_lr, total, backbone_prefix="backbone_"
+                ),
+                "adapters",
+            )
+        ]
+    else:
+        model = Stage2Model(dtype=dtype)
+        if scratch:
+            total = (freeze_epochs + unfreeze_epochs) * steps_per_epoch
+            phases = [
+                Phase(
+                    freeze_epochs + unfreeze_epochs,
+                    lambda p: adamw(cosine_schedule(head_lr, total)),
+                    "scratch",
+                )
+            ]
+        else:
+            t1 = freeze_epochs * steps_per_epoch
+            t2 = unfreeze_epochs * steps_per_epoch
+            phases = [
+                Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1), "frozen"),
+                Phase(
+                    unfreeze_epochs,
+                    lambda p: ulmfit_phase2(p, head_lr, backbone_lr, t2),
+                    "unfrozen",
+                ),
+            ]
+    return StageRecipe(
+        name="stage2",
+        model=model,
+        label_key="stage2",
+        num_classes=3,
+        loss_fn=loss,
+        augment=stage2_augment,
+        balance=True,
+        phases=phases,
+        batch_size=batch_size,
+        best_metric="macro_f1",
+    )
+
+
+def stage3_rect_recipe(
+    class_weights: Sequence[float],
+    freeze_epochs: int = 5,
+    unfreeze_epochs: int = 25,
+    head_lr: float = 1e-3,
+    batch_size: int = 256,
+    label_smoothing: float = 0.1,
+    steps_per_epoch: int = 300,
+    early_stop_patience: int = 5,
+    dtype=jnp.float32,
+) -> StageRecipe:
+    """v6 stage-3 RECT: weighted CE + label smoothing 0.1, freeze then
+    unfreeze backbone at lr*0.01, grad clip 1.0, patience 5
+    (parity: 005_train_stage3_rect.py:484-575)."""
+    cw = np.asarray(class_weights, dtype=np.float32)
+    loss = lambda lo, ta: weighted_ce_label_smoothing(lo, ta, cw, label_smoothing)
+    t1 = freeze_epochs * steps_per_epoch
+    t2 = unfreeze_epochs * steps_per_epoch
+    return StageRecipe(
+        name="stage3_rect",
+        model=Stage3RectModel(dtype=dtype),
+        label_key="stage3_RECT",
+        num_classes=2,
+        loss_fn=loss,
+        augment=stage3_rect_augment,
+        phases=[
+            Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1, grad_clip=1.0), "frozen"),
+            Phase(
+                unfreeze_epochs,
+                lambda p: ulmfit_phase2(
+                    p, head_lr, head_lr * 0.01, t2, grad_clip=1.0
+                ),
+                "unfrozen",
+            ),
+        ],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+        early_stop_patience=early_stop_patience,
+    )
+
+
+def stage3_ab_fgvc_recipe(
+    freeze_epochs: int = 5,
+    unfreeze_epochs: int = 25,
+    head_lr: float = 1e-3,
+    backbone_lr: float = 1e-6,
+    batch_size: int = 128,
+    steps_per_epoch: int = 300,
+    dtype=jnp.float32,
+) -> StageRecipe:
+    """v6 stage-3 AB FGVC: focal base loss + label-aware augmentation,
+    5 frozen + 25 unfrozen epochs at backbone 1e-6
+    (parity: 006_train_stage3_ab_fgvc.py:739-857). The CutMix+center-loss
+    composite is wired by the FGVC trainer in cli/train_stage3_ab (it needs
+    feature outputs); this recipe covers the schedule/augment surface."""
+    loss = lambda lo, ta: multiclass_focal_loss(lo, ta, 2.0)
+    t1 = freeze_epochs * steps_per_epoch
+    t2 = unfreeze_epochs * steps_per_epoch
+    return StageRecipe(
+        name="stage3_ab",
+        model=FGVCModel(dtype=dtype),
+        label_key="stage3_AB",
+        num_classes=4,
+        loss_fn=loss,
+        augment_labeled=stage3_ab_augment,
+        balance=True,
+        phases=[
+            Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1), "frozen"),
+            Phase(
+                unfreeze_epochs,
+                lambda p: ulmfit_phase2(p, head_lr, backbone_lr, t2),
+                "unfrozen",
+            ),
+        ],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+    )
+
+
+def stage3_ab_ensemble_recipe(seed_offset: int = 0, **kw) -> StageRecipe:
+    """One AB-ensemble member: plain Stage3ABModel + focal, distinct seeds
+    (parity: 006_train_stage3_ab_ensemble_reference.py)."""
+    recipe = stage3_ab_fgvc_recipe(**kw)
+    return replace(
+        recipe,
+        name=f"stage3_ab_member{seed_offset}",
+        model=Stage3ABModel(),
+    )
+
+
+def flatten_recipe(
+    samples_per_class: Sequence[int],
+    freeze_epochs: int = 15,
+    unfreeze_epochs: int = 25,
+    max_lr: float = 1e-3,
+    batch_size: int = 256,
+    beta: float = 0.9999,
+    gamma: float = 2.5,
+    steps_per_epoch: int = 500,
+    early_stop_patience: int = 8,
+    dtype=jnp.float32,
+) -> StageRecipe:
+    """Flatten 7-way: CB-focal(beta=.9999, gamma=2.5), OneCycle, 2-phase
+    freeze(15)/unfreeze, early stop patience 8 (parity: 004b:461-590)."""
+    loss = lambda lo, ta: class_balanced_focal_loss(
+        lo, ta, list(samples_per_class), beta, gamma
+    )
+    t1 = freeze_epochs * steps_per_epoch
+    t2 = unfreeze_epochs * steps_per_epoch
+    return StageRecipe(
+        name="stage2_flat",
+        model=Stage2FlatModel(dtype=dtype),
+        label_key="flatten",
+        num_classes=7,
+        loss_fn=loss,
+        augment=stage2_augment,
+        balance=True,
+        phases=[
+            Phase(
+                freeze_epochs,
+                lambda p: ulmfit_phase1(p, max_lr, t1),
+                "frozen",
+            ),
+            Phase(
+                unfreeze_epochs,
+                lambda p: ulmfit_phase2(p, max_lr, max_lr * 0.01, t2),
+                "unfrozen",
+            ),
+        ],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+        early_stop_patience=early_stop_patience,
+    )
+
+
+# ---------------------------------------------------------------------------
+# v5 recipes (shared-backbone HierarchicalModel)
+# ---------------------------------------------------------------------------
+
+def v5_stage1_recipe(
+    epochs: int = 20, lr: float = 1e-3, batch_size: int = 256,
+    pos_weight: float = 1.0, gamma: float = 0.0, steps_per_epoch: int = 500,
+) -> StageRecipe:
+    """v5 stage-1 (parity: 009_train_stage1.py): BCE + pos_weight + focal
+    factor, 1:1 weighted sampling, trains the shared model's stage-1 path."""
+    loss = lambda out, ta: stage1_focal_bce_v5(out.stage1, ta, pos_weight, gamma)
+    total = epochs * steps_per_epoch
+    return StageRecipe(
+        name="v5_stage1",
+        model=HierarchicalModel(),
+        label_key="stage1",
+        num_classes=2,
+        binary=True,
+        loss_fn=loss,
+        balance=True,
+        phases=[Phase(epochs, lambda p: adamw(cosine_schedule(lr, total)), "main")],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+        logits_fn=lambda out: out.stage1,
+    )
+
+
+def v5_stage2_recipe(
+    class_weights: Sequence[float],
+    epochs: int = 20,
+    lr: float = 1e-3,
+    batch_size: int = 256,
+    label_smoothing: float = 0.05,
+    freeze_backbone: bool = False,
+    steps_per_epoch: int = 500,
+) -> StageRecipe:
+    """v5 stage-2 (parity: 010_train_stage2.py): weighted CE + smoothing
+    over the shared model's 5-way head; optional backbone freeze."""
+    cw = np.asarray(class_weights, dtype=np.float32)
+    loss = lambda out, ta: weighted_ce_label_smoothing(
+        out.stage2, ta, cw, label_smoothing
+    )
+    total = epochs * steps_per_epoch
+    if freeze_backbone:
+        phases = [Phase(epochs, lambda p: ulmfit_phase1(p, lr, total), "frozen")]
+    else:
+        phases = [Phase(epochs, lambda p: adamw(cosine_schedule(lr, total)), "main")]
+    return StageRecipe(
+        name="v5_stage2",
+        model=HierarchicalModel(),
+        label_key="stage2",
+        num_classes=5,
+        loss_fn=loss,
+        phases=phases,
+        batch_size=batch_size,
+        best_metric="macro_f1",
+        logits_fn=lambda out: out.stage2,
+    )
+
+
+def v5_stage3_recipe(
+    head: str,
+    class_weights: Sequence[float],
+    epochs: int = 20,
+    lr: float = 5e-4,
+    batch_size: int = 256,
+    steps_per_epoch: int = 300,
+) -> StageRecipe:
+    """v5 stage-3 specialist (parity: 012_train_stage3.py): freeze backbone
+    + other heads, squared-inverse-freq class weights, label-aware flips for
+    AB (v5 swap tables differ from v6 — see codec.partitions)."""
+    cw = np.asarray(class_weights, dtype=np.float32)
+    num_classes = {"RECT": 2, "AB": 4, "1TO4": 2}[head]
+    loss = lambda out, ta: weighted_ce_label_smoothing(
+        out.specialists[head], ta, cw, 0.0
+    )
+    total = epochs * steps_per_epoch
+
+    def make_opt(params):
+        # freeze everything except the target specialist head
+        from av1tpu.train.schedules import partitioned_optimizer
+        import optax
+
+        return partitioned_optimizer(
+            params,
+            {
+                "frozen": optax.set_to_zero(),
+                "head": adamw(cosine_schedule(lr, total)),
+            },
+            {
+                "backbone": "frozen",
+                "stage1_head": "frozen",
+                "stage2_head": "frozen",
+                **{
+                    f"specialist_{h}": "frozen"
+                    for h in ("RECT", "AB", "1TO4")
+                    if h != head
+                },
+            },
+        )
+
+    augment_labeled = None
+    if head == "AB":
+        from av1tpu.codec.partitions import AB_HFLIP_SWAP_V5, AB_ROT90_SWAP_V5
+
+        def v5_ab_augment(key, image, label):
+            """v5 label-aware flips: hflip swap {0:1,1:0,2:3,3:2}, rot90
+            swap {0:2,2:0,1:3,3:1} (012:215-255)."""
+            k1, k2 = jax.random.split(key)
+            flip = jax.random.uniform(k1) < 0.5
+            image = jnp.where(flip, jnp.flip(image, axis=1), image)
+            label = jnp.where(flip, jnp.asarray(AB_HFLIP_SWAP_V5)[label], label)
+            rot = jax.random.uniform(k2) < 0.5
+            image = jnp.where(rot, jnp.rot90(image, k=1, axes=(0, 1)), image)
+            label = jnp.where(rot, jnp.asarray(AB_ROT90_SWAP_V5)[label], label)
+            return image, label
+
+        augment_labeled = v5_ab_augment
+
+    return StageRecipe(
+        name=f"v5_stage3_{head}",
+        model=HierarchicalModel(),
+        label_key=f"stage3_{head}",
+        num_classes=num_classes,
+        loss_fn=loss,
+        augment_labeled=augment_labeled,
+        phases=[Phase(epochs, make_opt, "specialist")],
+        batch_size=batch_size,
+        best_metric="macro_f1",
+        logits_fn=lambda out, _head=head: out.specialists[_head],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-aware filtering (004c)
+# ---------------------------------------------------------------------------
+
+def filter_through_stage1(
+    bundle: Bundle,
+    stage1_model,
+    stage1_vars,
+    threshold: float = 0.45,
+    batch_size: int = 4096,
+    norm_scale: float = 1023.0,
+) -> Bundle:
+    """Keep only samples the stage-1 model predicts PARTITION — the
+    covariate-shift experiment H2.1 (parity: 004c:142-180)."""
+    n = len(bundle)
+    keep = np.zeros(n, dtype=bool)
+
+    @jax.jit
+    def gate(x):
+        logits = stage1_model.apply(stage1_vars, x, train=False)
+        return jax.nn.sigmoid(logits) >= threshold
+
+    for start in range(0, n, batch_size):
+        chunk = bundle.samples[start : start + batch_size]
+        x = jnp.asarray(chunk.astype(np.float32) / norm_scale)
+        keep[start : start + len(chunk)] = np.asarray(gate(x))[: len(chunk)]
+    return bundle.take(np.flatnonzero(keep))
+
+
+def squared_inverse_freq_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """v5 stage-3 class weighting (parity: 012_train_stage3.py:76-81)."""
+    counts = np.bincount(labels[labels >= 0], minlength=num_classes).astype(np.float64)
+    counts = np.maximum(counts, 1)
+    weights = (1.0 / counts) ** 2
+    return (weights / weights.sum() * num_classes).astype(np.float32)
+
+
+__all__ = [
+    "Phase",
+    "StageRecipe",
+    "TrainResult",
+    "filter_through_stage1",
+    "flatten_recipe",
+    "squared_inverse_freq_weights",
+    "stage1_recipe",
+    "stage2_recipe",
+    "stage3_ab_ensemble_recipe",
+    "stage3_ab_fgvc_recipe",
+    "stage3_rect_recipe",
+    "train_stage",
+    "v5_stage1_recipe",
+    "v5_stage2_recipe",
+    "v5_stage3_recipe",
+]

@@ -59,7 +59,7 @@ class TrainState(struct.PyTreeNode):
 class StepConfig:
     """Static configuration compiled into the train/eval step."""
 
-    loss_fn: Callable  # (logits, labels) -> scalar
+    loss_fn: Callable  # (outputs, labels) -> scalar
     label_key: str
     augment: Optional[Callable] = None       # (key, image) -> image
     augment_labeled: Optional[Callable] = None  # (key, image, label) -> (image, label)
@@ -67,6 +67,16 @@ class StepConfig:
     binary: bool = False
     num_classes: int = 2
     apply_kwargs: Mapping[str, Any] = field(default_factory=dict)
+    # Optional extractor for structured model outputs (e.g. the v5
+    # multi-head HierarchicalOutputs): (outputs) -> logits array used for
+    # predictions. Defaults to the outputs themselves.
+    logits_fn: Optional[Callable] = None
+
+    def predictions(self, outputs):
+        logits = self.logits_fn(outputs) if self.logits_fn else outputs
+        if self.binary:
+            return (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1)
 
 
 def confusion_matrix(labels, preds, num_classes: int):
@@ -102,10 +112,7 @@ def make_train_step(model, optimizer, cfg: StepConfig):
             **cfg.apply_kwargs,
         )
         loss = cfg.loss_fn(outputs, labels)
-        if cfg.binary:
-            preds = (jax.nn.sigmoid(outputs) >= 0.5).astype(jnp.int32)
-        else:
-            preds = jnp.argmax(outputs, axis=-1)
+        preds = cfg.predictions(outputs)
         conf = confusion_matrix(labels, preds, cfg.num_classes)
         return loss, (mutated["batch_stats"], conf)
 
@@ -141,12 +148,10 @@ def make_eval_step(model, cfg: StepConfig):
             **cfg.apply_kwargs,
         )
         loss = cfg.loss_fn(outputs, labels)
-        if cfg.binary:
-            preds = (jax.nn.sigmoid(outputs) >= 0.5).astype(jnp.int32)
-        else:
-            preds = jnp.argmax(outputs, axis=-1)
+        preds = cfg.predictions(outputs)
         conf = confusion_matrix(labels, preds, cfg.num_classes)
-        return {"loss": loss, "confusion": conf, "logits": outputs}
+        logits = cfg.logits_fn(outputs) if cfg.logits_fn else outputs
+        return {"loss": loss, "confusion": conf, "logits": logits}
 
     return eval_step
 

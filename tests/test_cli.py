@@ -1,0 +1,157 @@
+"""End-to-end CLI chain test: the full public surface at toy scale.
+
+    prepare_data -> prepare_dataset -> prepare_stage3 -> train_stage1 ->
+    train_stage2 -> train_stage3(RECT, AB-FGVC) -> optimize_thresholds ->
+    run_pipeline_eval -> analyze_confusion
+
+Everything runs in-process via each CLI's main(argv) with synthetic data.
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from av1tpu.cli import (
+    analyze_confusion,
+    optimize_thresholds,
+    prepare_data,
+    prepare_dataset,
+    prepare_stage3,
+    run_pipeline_eval,
+    train_stage1,
+    train_stage2,
+    train_stage3,
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic YUV + dumps covering all partition families."""
+    work = tmp_path_factory.mktemp("cli_e2e")
+    rng = np.random.default_rng(0)
+    width, height, frames = 128, 64, 12
+    yuv = work / "clip_128x64_30.yuv"
+    with open(yuv, "wb") as f:
+        for _ in range(frames):
+            plane = rng.integers(0, 1024, size=(height, width), dtype=np.uint16)
+            f.write(plane.astype("<u2").tobytes())
+            f.write(np.zeros((height // 2, width // 2), dtype="<u2").tobytes() * 2)
+    dumps = work / "dumps"
+    dumps.mkdir()
+    modes = [0, 1, 2, 3, 4, 5, 6, 7]
+    for fi in range(frames):
+        lines = []
+        # 8 blocks of 16px per frame at col units 0,4,...,28 (row 0)
+        for bi, col in enumerate(range(0, 32, 4)):
+            mode = modes[(fi + bi) % len(modes)]
+            lines.append(f"{fi} 0 6 0 {col} {mode} {90 + fi}")
+        (dumps / f"partition_frame_{fi}.txt").write_text("\n".join(lines))
+    return work
+
+
+def test_full_cli_chain(workspace):
+    work = workspace
+    extracted = work / "extracted"
+    prepare_data.main([
+        "--yuv", str(work / "clip_128x64_30.yuv"),
+        "--dumps", str(work / "dumps"),
+        "--out", str(extracted),
+        "--block-sizes", "16",
+    ])
+    assert (extracted / "intra_raw_blocks").is_dir()
+    report = json.loads(
+        (extracted / "clip_128x64_30_etl_report.json").read_text()
+    )
+    assert report["frames_processed"] == 12
+
+    dataset = work / "v6_dataset"
+    prepare_dataset.main([
+        "--raw", str(extracted), "--out", str(dataset),
+        "--variant", "v6", "--block-size", "16", "--test-ratio", "0.3",
+    ])
+    assert (dataset / "block_16" / "train.npz").exists()
+
+    stage3_dir = work / "v6_stage3"
+    prepare_stage3.main([
+        "--dataset-dir", str(dataset), "--out", str(stage3_dir),
+        "--block-size", "16", "--ensemble-members", "2",
+    ])
+    assert (stage3_dir / "AB" / "block_16" / "train_v1.npz").exists()
+    assert (stage3_dir / "RECT" / "block_16" / "train.npz").exists()
+
+    runs = work / "runs"
+    train_stage1.main([
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--output-dir", str(runs / "stage1"),
+        "--epochs", "1", "--batch-size", "16",
+    ])
+    s1_ckpt = runs / "stage1" / "stage1_best_variables.npz"
+    assert s1_ckpt.exists()
+    assert (runs / "stage1" / "stage1_history.json").exists()
+
+    train_stage2.main([
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--output-dir", str(runs / "stage2"),
+        "--epochs", "2", "--freeze-epochs", "1", "--batch-size", "16",
+        "--stage1-checkpoint", str(s1_ckpt),
+    ])
+    s2_ckpt = runs / "stage2" / "stage2_best_variables.npz"
+    assert s2_ckpt.exists()
+
+    train_stage3.main([
+        "--head", "RECT",
+        "--dataset-dir", str(stage3_dir), "--block-size", "16",
+        "--output-dir", str(runs / "rect"),
+        "--epochs", "2", "--batch-size", "8",
+    ])
+    rect_ckpt = runs / "rect" / "stage3_rect_best_variables.npz"
+    assert rect_ckpt.exists()
+
+    train_stage3.main([
+        "--head", "AB", "--fgvc",
+        "--dataset-dir", str(stage3_dir), "--block-size", "16",
+        "--output-dir", str(runs / "ab"),
+        "--epochs", "1", "--batch-size", "8",
+    ])
+    ab_ckpt = runs / "ab" / "stage3_ab_fgvc_best_variables.npz"
+    assert ab_ckpt.exists()
+
+    optimize_thresholds.main([
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--stage1-checkpoint", str(s1_ckpt),
+        "--output-dir", str(runs / "calib"),
+        "--batch-size", "64",
+    ])
+    summary = json.loads((runs / "calib" / "threshold_summary.json").read_text())
+    assert "f1" in summary
+    assert (runs / "calib" / "threshold_sweep.csv").exists()
+
+    run_pipeline_eval.main([
+        "--variant", "v6",
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--output-dir", str(runs / "pipeline"),
+        "--batch-size", "64",
+        "--stage1-checkpoint", str(s1_ckpt),
+        "--stage2-checkpoint", str(s2_ckpt),
+        "--stage3-rect-checkpoint", str(rect_ckpt),
+        "--stage3-ab-checkpoint", str(ab_ckpt),
+        "--csv",
+    ])
+    metrics = json.loads(
+        (runs / "pipeline" / "pipeline_metrics_val.json").read_text()
+    )
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+    assert metrics["throughput_superblocks_per_sec"] > 0
+    assert (runs / "pipeline" / "pipeline_predictions_val.npz").exists()
+    assert (runs / "pipeline" / "pipeline_report_val.txt").exists()
+    assert (runs / "pipeline" / "pipeline_predictions_val.csv").exists()
+
+    analyze_confusion.main([
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--stage2-checkpoint", str(s2_ckpt),
+        "--output-dir", str(runs / "analysis"),
+        "--batch-size", "64",
+    ])
+    conf = json.loads((runs / "analysis" / "stage2_confusion.json").read_text())
+    assert len(conf["confusion_matrix"]) == 3
