@@ -80,6 +80,10 @@ def write_history(result, output_dir: Path, name: str) -> None:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     result.save_history(out / f"{name}_history.json")
+    if result.history:
+        from av1tpu.eval.plots import plot_training_curves
+
+        plot_training_curves(result.history, out / f"{name}_training_curves.png")
     (out / f"{name}_summary.json").write_text(
         json.dumps(
             {

@@ -166,6 +166,13 @@ def main(argv=None) -> None:
             for i in range(len(final))
         ]
         write_predictions_csv(out_dir / f"pipeline_predictions_{args.split}.csv", rows)
+    from av1tpu.eval.plots import plot_confusion_matrix
+
+    plot_confusion_matrix(
+        np.asarray(metrics["confusion_matrix"]), class_names,
+        out_dir / f"pipeline_confusion_{args.split}.png",
+        title=f"{args.variant} pipeline ({args.split})",
+    )
     write_text_report(
         out_dir / f"pipeline_report_{args.split}.txt",
         f"av1tpu {args.variant} pipeline evaluation",

@@ -143,13 +143,72 @@ def stacked_member_logits(
     return np.concatenate(outs, axis=1)
 
 
+def save_ensemble(directory, member_variables: List, meta: Optional[Dict] = None):
+    """Persist ensemble members + metadata (parity: ABEnsemble.save_ensemble,
+    ensemble.py:119-137). One flat-variables npz per member + ensemble.json."""
+    import json
+    from pathlib import Path
+
+    from av1tpu.train.checkpoint import save_variables_npz
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, variables in enumerate(member_variables, start=1):
+        paths.append(
+            save_variables_npz(directory / f"member_{i}_variables.npz", variables)
+        )
+    payload = {"num_members": len(member_variables), **(meta or {})}
+    (directory / "ensemble.json").write_text(json.dumps(payload, indent=2))
+    return paths
+
+
+def load_ensemble(directory):
+    """Load all members saved by :func:`save_ensemble`; returns
+    ``(member_variables, meta)``."""
+    import json
+    from pathlib import Path
+
+    from av1tpu.train.checkpoint import load_variables_npz
+
+    directory = Path(directory)
+    meta = json.loads((directory / "ensemble.json").read_text())
+    members = [
+        load_variables_npz(directory / f"member_{i}_variables.npz")
+        for i in range(1, meta["num_members"] + 1)
+    ]
+    return members, meta
+
+
+def tta_logits(model, variables, images, batch_size: int = 4096) -> np.ndarray:
+    """Test-time-augmentation logits: mean over the 4 TTA views
+    (original/hflip/vflip/rot180 — parity with TestTimeAugmentation,
+    augmentation.py:251-276), evaluated as one vmapped forward per batch."""
+    from av1tpu.train.augment import tta_views
+
+    @jax.jit
+    def run(x):
+        views = tta_views(x)  # (4, B, H, W, C)
+        logits = jax.vmap(lambda v: model.apply(variables, v, train=False))(views)
+        return jnp.mean(logits, axis=0)
+
+    n = images.shape[0]
+    outs = []
+    for start in range(0, n, batch_size):
+        outs.append(np.asarray(run(jnp.asarray(images[start : start + batch_size]))))
+    return np.concatenate(outs, axis=0)
+
+
 __all__ = [
     "ensemble_diversity",
     "fit_stacking",
     "hard_vote",
+    "load_ensemble",
     "predict_with_uncertainty",
+    "save_ensemble",
     "soft_vote",
     "stacked_member_logits",
     "stacking_predict",
+    "tta_logits",
     "weighted_vote",
 ]

@@ -79,8 +79,14 @@ def extract_sequence(
     resolution: Optional[Tuple[int, int]] = None,
     qp_mode: str = "real",
     max_frames: Optional[int] = None,
+    use_native: bool = True,
 ) -> Tuple[Dict[int, SequenceExtract], EtlReport]:
-    """Extract labeled blocks for every dumped intra frame of one sequence."""
+    """Extract labeled blocks for every dumped intra frame of one sequence.
+
+    With ``use_native`` (default) and the C++ IO library built, all needed
+    frames batch-load through the multithreaded native reader; otherwise
+    frames stream through the numpy reader one by one.
+    """
     yuv_path = Path(yuv_path)
     if resolution is None:
         resolution = infer_resolution(yuv_path.name)
@@ -105,6 +111,7 @@ def extract_sequence(
         for bs in block_sizes
     }
 
+    valid_dumps = []
     for dump in dumps:
         report.warnings.extend(dump.warnings)
         if dump.frame_index >= num_frames:
@@ -112,7 +119,23 @@ def extract_sequence(
                 f"frame {dump.frame_index} beyond file ({num_frames} frames)"
             )
             continue
-        y_plane = read_y_frame(yuv_path, dump.frame_index, geom)
+        valid_dumps.append(dump)
+
+    preloaded = None
+    if use_native and valid_dumps:
+        from av1tpu.ingest.native import native_available, read_y_frames
+
+        if native_available():
+            preloaded = read_y_frames(
+                yuv_path, geom, [d.frame_index for d in valid_dumps],
+                validate_range=True,
+            )
+
+    for di, dump in enumerate(valid_dumps):
+        if preloaded is not None:
+            y_plane = preloaded[di]
+        else:
+            y_plane = read_y_frame(yuv_path, dump.frame_index, geom)
         report.frames_processed += 1
 
         for bs in block_sizes:

@@ -246,8 +246,11 @@ def run_train_epoch(
         indices = shuffled_epoch_indices(n, epoch_seed)
 
     sharding = batch_sharding(mesh) if mesh is not None else None
-    total_loss, steps, samples = 0.0, 0, 0
-    conf_sum = np.zeros((num_classes, num_classes))
+    # Metric totals stay on device and accumulate lazily — pulling them to
+    # host per step would force a sync and serialize the step pipeline.
+    loss_sum = None
+    conf_sum = None
+    steps, samples = 0, 0
     start = time.perf_counter()
     for batch in iterate_batches(arrays, indices, batch_size):
         rng_key, step_key = jax.random.split(rng_key)
@@ -256,14 +259,22 @@ def run_train_epoch(
                 lambda x: jax.device_put(x, sharding), batch
             )
         state, metrics = train_step(state, batch, step_key)
-        total_loss += float(metrics["loss"])
-        conf_sum += np.asarray(metrics["confusion"])
+        loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
+        conf_sum = (
+            metrics["confusion"] if conf_sum is None
+            else conf_sum + metrics["confusion"]
+        )
         steps += 1
         samples += batch_size
+    conf_host = (
+        np.asarray(conf_sum) if conf_sum is not None
+        else np.zeros((num_classes, num_classes))
+    )
+    loss_host = float(loss_sum) if loss_sum is not None else 0.0
     seconds = time.perf_counter() - start
     return state, EpochResult(
-        loss=total_loss / max(steps, 1),
-        metrics=confusion_to_metrics(conf_sum),
+        loss=loss_host / max(steps, 1),
+        metrics=confusion_to_metrics(conf_host),
         seconds=seconds,
         samples=samples,
     )
@@ -280,8 +291,7 @@ def run_eval(
     padded, valid = pad_to_multiple(dict(arrays), batch_size)
     n = len(next(iter(padded.values())))
     sharding = batch_sharding(mesh) if mesh is not None else None
-    total_loss, steps = 0.0, 0
-    conf_sum = np.zeros((num_classes, num_classes))
+    loss_sum, conf_sum, steps = None, None, 0
     start = time.perf_counter()
     for batch in iterate_batches(
         padded, np.arange(n), batch_size, drop_remainder=False
@@ -291,13 +301,21 @@ def run_eval(
                 lambda x: jax.device_put(x, sharding), batch
             )
         metrics = eval_step(state, batch)
-        total_loss += float(metrics["loss"])
-        conf_sum += np.asarray(metrics["confusion"])
+        loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
+        conf_sum = (
+            metrics["confusion"] if conf_sum is None
+            else conf_sum + metrics["confusion"]
+        )
         steps += 1
+    conf_host = (
+        np.asarray(conf_sum) if conf_sum is not None
+        else np.zeros((num_classes, num_classes))
+    )
+    loss_host = float(loss_sum) if loss_sum is not None else 0.0
     seconds = time.perf_counter() - start
     return EpochResult(
-        loss=total_loss / max(steps, 1),
-        metrics=confusion_to_metrics(conf_sum),
+        loss=loss_host / max(steps, 1),
+        metrics=confusion_to_metrics(conf_host),
         seconds=seconds,
         samples=valid,
     )
