@@ -110,7 +110,9 @@ def main(argv=None) -> None:
         import jax
 
         dummy = jnp.zeros((2, args.block_size, args.block_size, 1))
-        fresh = recipe.model.init(jax.random.PRNGKey(args.seed), dummy)
+        from av1tpu.utils.initialization import init_on_cpu
+
+        fresh = init_on_cpu(recipe.model, jax.random.PRNGKey(args.seed), dummy)
         try:
             init_params = transplant_backbone(
                 fresh["params"], stage1_vars["params"], prefix="backbone"

@@ -116,12 +116,11 @@ class SpatialAttention(nn.Module):
         avg_out = jnp.mean(x, axis=-1, keepdims=True)
         max_out = jnp.max(x, axis=-1, keepdims=True)
         attn = jnp.concatenate([avg_out, max_out], axis=-1)
-        attn = nn.Conv(
+        attn = SpatialConv(
             1,
             (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
             dtype=self.dtype,
+            name="Conv_0",
         )(attn)
         return x * nn.sigmoid(attn)
 
@@ -158,6 +157,57 @@ class DualAttention(nn.Module):
         return x * nn.sigmoid(spatial)
 
 
+class SpatialConv(nn.Module):
+    """kxk SAME conv that collapses to a center-tap matmul on 1x1 inputs.
+
+    For tiny AV1 blocks the deep ResNet stages run at 1x1 spatial extent,
+    where a kxk SAME convolution is mathematically identical to a 1x1 conv
+    with the kernel's center tap (every other tap multiplies padding
+    zeros). XLA does not exploit this, so the full conv wastes (k*k-1)/k*k
+    of its MACs; here the center tap becomes a pure MXU matmul. Parameter
+    shape/init/name match ``nn.Conv`` exactly, so checkpoints are
+    interchangeable with the general path.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    collapse_1x1: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+        ).astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,)).astype(
+                self.dtype
+            )
+            if self.use_bias
+            else None
+        )
+        if self.collapse_1x1 and x.shape[1] == 1 and x.shape[2] == 1:
+            y = x[:, 0, 0, :] @ kernel[kh // 2, kw // 2]
+            y = y[:, None, None, :]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=self.strides,
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class BasicBlock(nn.Module):
     """ResNet v1 basic block (3x3 + 3x3, projection shortcut on stride/width
     change) — He et al., 2016. Matches torchvision's ``BasicBlock`` compute
@@ -170,17 +220,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(
-            self.features, (3, 3), strides=self.strides, padding="SAME",
-            use_bias=False, dtype=self.dtype, name="conv1",
+        y = SpatialConv(
+            self.features, (3, 3), strides=self.strides,
+            dtype=self.dtype, name="conv1",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1"
         )(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv2",
+        y = SpatialConv(
+            self.features, (3, 3), dtype=self.dtype, name="conv2",
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2"

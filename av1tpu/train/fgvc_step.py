@@ -27,8 +27,10 @@ from av1tpu.train.trainer import TrainState, confusion_matrix
 def create_fgvc_state(model, optimizer, rng_key, input_shape=(16, 16, 1),
                       num_classes: int = 4, feat_dim: int = 512):
     init_key, center_key = jax.random.split(rng_key)
-    variables = model.init(
-        init_key, jnp.zeros((2, *input_shape), jnp.float32)
+    from av1tpu.utils.initialization import init_on_cpu
+
+    variables = init_on_cpu(
+        model, init_key, jnp.zeros((2, *input_shape), jnp.float32)
     )
     params = {
         "model": variables["params"],

@@ -139,7 +139,9 @@ def train_stage(
     init_key, train_key = jax.random.split(key)
 
     dummy = jnp.zeros((2, *recipe.input_shape), jnp.float32)
-    variables = model.init(init_key, dummy, **dict(recipe.apply_kwargs))
+    from av1tpu.utils.initialization import init_on_cpu
+
+    variables = init_on_cpu(model, init_key, dummy, **dict(recipe.apply_kwargs))
     if init_params is not None:
         variables = dict(variables)
         variables["params"] = init_params
