@@ -26,6 +26,8 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
                         help="run compute in bfloat16 (TPU MXU native)")
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="model-axis size of the device mesh")
+    parser.add_argument("--resume", type=Path, default=None,
+                        help="checkpoint dir (…_best/…_final) to resume from")
 
 
 def load_split(dataset_dir: Path, block_size: int) -> Tuple[Bundle, Bundle, Dict]:

@@ -131,6 +131,7 @@ def main(argv=None) -> None:
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
         init_params=init_params, init_batch_stats=init_stats,
         checkpoint_dir=args.output_dir,
+        resume_from=args.resume,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

@@ -46,6 +46,7 @@ def main(argv=None) -> None:
     result = train_stage(
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
         checkpoint_dir=args.output_dir,
+        resume_from=args.resume,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

@@ -207,7 +207,7 @@ def main(argv=None) -> None:
     recipe = replace(recipe, input_shape=(args.block_size, args.block_size, 1))
     result = train_stage(
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
-        checkpoint_dir=args.output_dir,
+        checkpoint_dir=args.output_dir, resume_from=args.resume,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

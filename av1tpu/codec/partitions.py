@@ -135,6 +135,10 @@ V6_EVAL_CLASS_NAMES = (
     "NONE", "SPLIT", "HORZ", "VERT", "HORZ_A", "HORZ_B", "VERT_A", "VERT_B",
 )
 
+# v6 8-class pipeline output id -> raw 10-class partition mode
+# (NONE->NONE, SPLIT->SPLIT, HORZ/VERT->1/2, AB->4..7).
+V6_FINAL_TO_RAW = np.array([0, 3, 1, 2, 4, 5, 6, 7], dtype=np.int32)
+
 
 def _build_table(groups: Dict[str, Tuple[str, ...]], fill: int = -1) -> np.ndarray:
     """Build a 10-entry partition-id -> group-id lookup table."""

@@ -1,0 +1,84 @@
+"""Full partition-tree inference: frame -> per-superblock AV1 quadtrees.
+
+The headline composition graph of BASELINE.json: a whole frame's 64x64
+superblocks are tiled, every potential block at every level of the
+64->32->16->8 hierarchy runs through that level's v6 stage pipeline in one
+dense batch, and the per-level decisions assemble into fixed-shape
+(N, 85)-slot partition trees (see :mod:`av1tpu.codec.tree`).
+
+All four levels evaluate dense — a child's pipeline result is discarded by
+the tree mask when its parent did not SPLIT. For TPU this is the same
+trade as the dense stage routing: static shapes + full MXU batches beat
+gather-based sparsity at these model sizes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.codec.partitions import V6_FINAL_TO_RAW
+from av1tpu.codec.tree import (
+    LEVEL_SIZES,
+    NODES_PER_LEVEL,
+    assemble_trees,
+    flatten_superblock,
+)
+from av1tpu.eval.hierarchy import run_pipeline_batched
+
+
+def predict_partition_trees(
+    superblocks: np.ndarray,
+    level_predictors: Mapping[int, Callable],
+    batch_size: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """Run the 4-level cascade over (N, 64, 64) uint16 superblocks.
+
+    ``level_predictors`` maps block size (64/32/16/8) to a fused v6
+    pipeline ``predict`` (from :func:`av1tpu.eval.hierarchy.make_v6_pipeline`)
+    trained for that size. Returns the assembled ``(N, 85)`` trees plus the
+    per-level raw-mode arrays.
+    """
+    missing = [s for s in LEVEL_SIZES if s not in level_predictors]
+    if missing:
+        raise ValueError(f"missing level predictors for sizes: {missing}")
+
+    superblocks = np.asarray(superblocks)
+    if superblocks.ndim == 4:
+        superblocks = superblocks[..., 0]
+    n = superblocks.shape[0]
+    level_inputs = flatten_superblock(superblocks)
+
+    remap = V6_FINAL_TO_RAW
+    level_modes = []
+    per_level: Dict[str, np.ndarray] = {}
+    for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
+        blocks = level_inputs[size][..., None]  # (N*nodes, s, s, 1)
+        out = run_pipeline_batched(
+            level_predictors[size], blocks, batch_size=batch_size
+        )
+        raw_modes = remap[out["final"]].reshape(n, nodes)
+        level_modes.append(raw_modes)
+        per_level[f"modes_{size}"] = raw_modes
+
+    trees = assemble_trees(level_modes)
+    return {"trees": np.asarray(trees), **per_level}
+
+
+def predict_frame_trees(
+    y_plane: np.ndarray,
+    level_predictors: Mapping[int, Callable],
+    batch_size: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """Whole-frame entry: tile a (H, W) luma plane into superblocks and
+    emit one partition tree per superblock (row-major order)."""
+    from av1tpu.ingest.tiler import tile_frame
+
+    sbs, grid = tile_frame(np.asarray(y_plane), 64)
+    result = predict_partition_trees(sbs, level_predictors, batch_size)
+    result["grid_shape"] = np.asarray([grid.num_rows, grid.num_cols])
+    return result
+
+
+__all__ = ["predict_frame_trees", "predict_partition_trees"]

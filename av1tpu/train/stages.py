@@ -131,9 +131,17 @@ def train_stage(
     init_params=None,
     init_batch_stats=None,
     checkpoint_dir: Optional[Path] = None,
+    resume_from: Optional[Path] = None,
     log: Callable[[str], None] = print,
 ) -> TrainResult:
-    """Run all phases of a recipe; returns final and best states."""
+    """Run all phases of a recipe; returns final and best states.
+
+    ``resume_from`` continues from a checkpoint directory written by a
+    previous run (the reference has no resume at all — SURVEY.md §5):
+    model params/batch-stats restore from ``variables.npz`` and the epoch
+    counter fast-forwards past completed epochs; optimizer state restarts
+    at the resumed phase boundary.
+    """
     model = recipe.model
     key = jax.random.PRNGKey(seed)
     init_key, train_key = jax.random.split(key)
@@ -148,6 +156,20 @@ def train_stage(
     if init_batch_stats is not None:
         variables = dict(variables)
         variables["batch_stats"] = init_batch_stats
+
+    start_epoch = 0
+    if resume_from is not None:
+        from av1tpu.train.checkpoint import load_variables_npz
+
+        resume_from = Path(resume_from)
+        restored = load_variables_npz(resume_from / "variables.npz")
+        variables = dict(variables)
+        variables["params"] = restored["params"]
+        variables["batch_stats"] = restored.get("batch_stats", {})
+        meta_path = resume_from / "meta.json"
+        if meta_path.exists():
+            start_epoch = json.loads(meta_path.read_text()).get("epoch", -1) + 1
+        log(f"[{recipe.name}] resuming from {resume_from} at epoch {start_epoch}")
 
     arrays = _bundle_arrays(train_bundle, recipe.label_key)
     val_arrays = _bundle_arrays(val_bundle, recipe.label_key)
@@ -189,6 +211,9 @@ def train_stage(
         log(f"[{recipe.name}] phase '{phase.name}': {phase.epochs} epochs")
 
         for _ in range(phase.epochs):
+            if epoch_global < start_epoch:
+                epoch_global += 1
+                continue
             train_key, epoch_key = jax.random.split(train_key)
             state, tr = run_train_epoch(
                 train_step, state, arrays, recipe.batch_size, epoch_key,
@@ -221,7 +246,7 @@ def train_stage(
                 best_state = jax.tree_util.tree_map(np.asarray, state)
                 no_improve = 0
                 if checkpoint_dir is not None:
-                    save_checkpoint(
+                    ckpt_dir = save_checkpoint(
                         Path(checkpoint_dir) / f"{recipe.name}_best",
                         state,
                         meta={
@@ -231,6 +256,7 @@ def train_stage(
                         },
                         verify=True,
                     )
+                    _save_resume_variables(ckpt_dir, state)
             else:
                 no_improve += 1
             epoch_global += 1
@@ -246,13 +272,23 @@ def train_stage(
         break
 
     if checkpoint_dir is not None and state is not None:
-        save_checkpoint(
+        final_dir = save_checkpoint(
             Path(checkpoint_dir) / f"{recipe.name}_final", state,
-            meta={"epoch": epoch_global}, verify=True,
+            meta={"epoch": epoch_global - 1}, verify=True,
         )
+        _save_resume_variables(final_dir, state)
     return TrainResult(
         state=state, best_state=best_state, best_value=float(best_value),
         history=history,
+    )
+
+
+def _save_resume_variables(ckpt_dir: Path, state: TrainState) -> None:
+    from av1tpu.train.checkpoint import save_variables_npz
+
+    save_variables_npz(
+        Path(ckpt_dir) / "variables.npz",
+        {"params": state.params, "batch_stats": state.batch_stats},
     )
 
 

@@ -208,3 +208,60 @@ def test_torch_import_v6_stage2_logit_parity():
         train=False,
     )
     np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=1e-3, atol=1e-4)
+
+
+def test_torch_import_v5_hierarchical_parity():
+    torch = pytest.importorskip("torch")
+    import tests.torch_reference as tr
+    from av1tpu.models.torch_import import import_v5_hierarchical
+
+    torch.manual_seed(1)
+    ref = tr.TorchHierarchicalModel()
+    ref.eval()
+    x = np.random.default_rng(4).normal(size=(3, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        s1_ref, s2_ref, spec_ref = ref(torch.from_numpy(x))
+
+    variables = as_jax_variables(import_v5_hierarchical(ref.state_dict()))
+    model = HierarchicalModel()
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out.stage1), s1_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.stage2), s2_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    for head in ("RECT", "AB", "1TO4"):
+        np.testing.assert_allclose(
+            np.asarray(out.specialists[head]), spec_ref[head].numpy(),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_torch_import_fgvc_parity():
+    torch = pytest.importorskip("torch")
+    import tests.torch_reference as tr
+    from av1tpu.models.torch_import import import_fgvc_model
+
+    torch.manual_seed(2)
+    ref = tr.TorchFGVCModel()
+    ref.eval()
+    x = np.random.default_rng(5).normal(size=(3, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x)).numpy()
+
+    variables = as_jax_variables(import_fgvc_model(ref.state_dict()))
+    model = FGVCModel()
+    got = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    # f32 accumulation-order differences through conv+BN+normalize leave
+    # ~3e-3 absolute noise; decisions must agree exactly.
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-2, atol=5e-3)
+    np.testing.assert_array_equal(
+        np.asarray(got).argmax(axis=1), ref_logits.argmax(axis=1)
+    )

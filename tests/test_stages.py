@@ -177,3 +177,29 @@ def test_fgvc_composite_step_runs():
     ev = make_fgvc_eval_step(model)
     out = ev(state, batch)
     assert out["logits"].shape == (16, 4)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Train 1 epoch + checkpoint, resume for a 2-epoch recipe: only the
+    second epoch runs and params continue from the checkpoint."""
+    labels = np.tile([0, 3], 32)
+    train_b = make_bundle(labels)
+    val_b = make_bundle(labels, seed=1)
+
+    recipe1 = small(stage1_recipe(epochs=1, steps_per_epoch=4))
+    r1 = train_stage(
+        recipe1, train_b, val_b, seed=0, checkpoint_dir=tmp_path,
+        log=lambda s: None,
+    )
+    final_dir = tmp_path / "stage1_final"
+    assert (final_dir / "variables.npz").exists()
+
+    recipe2 = small(stage1_recipe(epochs=2, steps_per_epoch=4),
+                    epochs_per_phase=2)
+    r2 = train_stage(
+        recipe2, train_b, val_b, seed=0, resume_from=final_dir,
+        log=lambda s: None,
+    )
+    # fast-forwarded past epoch 0: only epoch 1 recorded
+    assert [h["epoch"] for h in r2.history] == [1]
+    assert np.isfinite(r2.history[0]["val_loss"])

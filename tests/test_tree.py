@@ -1,0 +1,125 @@
+"""Partition-tree assembly and tree-inference tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from av1tpu.codec.partitions import PARTITION_SPLIT
+from av1tpu.codec.tree import (
+    LEVEL_OFFSETS,
+    TREE_SLOTS,
+    assemble_trees,
+    flatten_superblock,
+    tree_depth_stats,
+    tree_to_nested,
+)
+
+
+def make_levels(mode64, modes32, modes16=None, modes8=None, n=1):
+    l0 = np.full((n, 1), mode64)
+    l1 = np.asarray(modes32).reshape(n, 4)
+    l2 = (np.asarray(modes16).reshape(n, 16) if modes16 is not None
+          else np.zeros((n, 16), np.int64))
+    l3 = (np.asarray(modes8).reshape(n, 64) if modes8 is not None
+          else np.zeros((n, 64), np.int64))
+    return [l0, l1, l2, l3]
+
+
+def test_no_split_is_single_node():
+    trees = assemble_trees(make_levels(0, [3, 3, 3, 3]))
+    assert trees.shape == (1, TREE_SLOTS)
+    assert trees[0, 0] == 0
+    assert (trees[0, 1:] == -1).all()
+
+
+def test_split_reaches_children():
+    # 64 splits; children: [NONE, SPLIT, HORZ, VERT]; the SPLIT child's
+    # 4 grandchildren are reached at 16
+    modes16 = np.full(16, -0)  # all NONE at 16 level
+    trees = assemble_trees(make_levels(PARTITION_SPLIT, [0, 3, 1, 2], modes16))
+    t = trees[0]
+    assert t[0] == 3
+    np.testing.assert_array_equal(t[1:5], [0, 3, 1, 2])
+    # grandchildren of child 1 occupy level-2 slots 4*1..4*1+3
+    off = LEVEL_OFFSETS[2]
+    np.testing.assert_array_equal(t[off + 4 : off + 8], [0, 0, 0, 0])
+    # grandchildren of non-split children unreached
+    np.testing.assert_array_equal(t[off : off + 4], [-1] * 4)
+
+
+def test_full_split_tree():
+    levels = make_levels(
+        3, [3] * 4, [3] * 16, [0] * 64
+    )
+    trees = assemble_trees(levels)
+    assert (trees[0] >= 0).all()
+    stats = tree_depth_stats(trees)
+    assert stats["full_split_fraction"] == 1.0
+    assert stats["mean_leaves"] == 64.0
+
+
+def test_jax_arrays_supported():
+    levels = [jnp.asarray(a) for a in make_levels(3, [0, 0, 0, 0])]
+    trees = assemble_trees(levels)
+    assert trees.shape == (1, TREE_SLOTS)
+    assert int(trees[0, 0]) == 3
+
+
+def test_tree_to_nested():
+    trees = assemble_trees(make_levels(3, [0, 1, 2, 0]))
+    nested = tree_to_nested(trees[0])
+    assert nested == (3, [0, 1, 2, 0])
+
+
+def test_flatten_superblock_quadrant_order():
+    sb = np.arange(64 * 64, dtype=np.uint16).reshape(64, 64)
+    out = flatten_superblock(sb)
+    assert out[64].shape == (1, 64, 64)
+    assert out[32].shape == (4, 32, 32)
+    assert out[16].shape == (16, 16, 16)
+    assert out[8].shape == (64, 8, 8)
+    # child 0 = top-left quadrant
+    np.testing.assert_array_equal(out[32][0], sb[:32, :32])
+    np.testing.assert_array_equal(out[32][3], sb[32:, 32:])
+    # grandchild of child 3 (node 4*3+0=12) = top-left of bottom-right quad
+    np.testing.assert_array_equal(out[16][12], sb[32:48, 32:48])
+
+
+def test_predict_partition_trees_with_stubs():
+    """Stub per-level predictors with deterministic outcomes validate the
+    end-to-end assembly: level 64 always SPLIT, level 32 always HORZ."""
+    from av1tpu.eval.tree_infer import predict_partition_trees
+
+    def const_predictor(final_class):
+        def predict(images):
+            n = images.shape[0]
+            return {"final": jnp.full((n,), final_class, jnp.int32)}
+        return predict
+
+    preds = {
+        64: const_predictor(1),   # v6 class 1 = SPLIT
+        32: const_predictor(2),   # v6 class 2 = HORZ
+        16: const_predictor(0),
+        8: const_predictor(0),
+    }
+    sbs = np.zeros((3, 64, 64), dtype=np.uint16)
+    out = predict_partition_trees(sbs, preds, batch_size=8)
+    trees = out["trees"]
+    assert trees.shape == (3, TREE_SLOTS)
+    assert (trees[:, 0] == 3).all()            # raw SPLIT at root
+    assert (trees[:, 1:5] == 1).all()          # raw HORZ at level 32
+    assert (trees[:, 5:] == -1).all()          # HORZ leaves don't recurse
+    nested = tree_to_nested(trees[0])
+    assert nested == (3, [1, 1, 1, 1])
+
+
+def test_predict_frame_trees_grid():
+    from av1tpu.eval.tree_infer import predict_frame_trees
+
+    def predict(images):
+        return {"final": jnp.zeros((images.shape[0],), jnp.int32)}
+
+    preds = {s: predict for s in (64, 32, 16, 8)}
+    frame = np.zeros((128, 192), dtype=np.uint16)
+    out = predict_frame_trees(frame, preds, batch_size=8)
+    assert out["trees"].shape == (2 * 3, TREE_SLOTS)
+    np.testing.assert_array_equal(out["grid_shape"], [2, 3])

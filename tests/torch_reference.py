@@ -108,3 +108,118 @@ class TorchStage2Model(nn.Module):
 
     def forward(self, x):
         return self.head(self.backbone(x))
+
+
+class TorchDepthwiseSeparableConv(nn.Module):
+    """v5 dsconv block with the reference's param naming
+    (models_hier.py:22-44)."""
+
+    def __init__(self, in_ch, out_ch, stride=1):
+        super().__init__()
+        self.depthwise = nn.Conv2d(in_ch, in_ch, 3, stride=stride, padding=1,
+                                   groups=in_ch, bias=False)
+        self.pointwise = nn.Conv2d(in_ch, out_ch, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(in_ch)
+        self.bn2 = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        x = F.silu(self.bn1(self.depthwise(x)))
+        return F.silu(self.bn2(self.pointwise(x)))
+
+
+class TorchConvStem(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, 3, padding=1, bias=False)
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        return F.silu(self.bn(self.conv(x)))
+
+
+class TorchHierarchicalBackbone(nn.Module):
+    def __init__(self, base=32):
+        super().__init__()
+        widths = [base, base * 2, base * 4, base * 4]
+        self.stem = TorchConvStem(1, widths[0])
+        blocks = []
+        in_c = widths[0]
+        for idx, out_c in enumerate(widths[1:], start=1):
+            stride = 2 if idx < len(widths) - 1 else 1
+            blocks.append(TorchDepthwiseSeparableConv(in_c, out_c, stride))
+            in_c = out_c
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        x = self.stem(x)
+        for b in self.blocks:
+            x = b(x)
+        return x.mean(dim=(2, 3))
+
+
+def _v5_head(in_dim, out_dim):
+    return nn.Sequential(
+        nn.Linear(in_dim, in_dim // 2), nn.SiLU(), nn.Dropout(0.3),
+        nn.Linear(in_dim // 2, out_dim),
+    )
+
+
+class TorchHierarchicalModel(nn.Module):
+    """v5 multi-head model with reference naming (models_hier.py:158-206)."""
+
+    def __init__(self, feature_dim=128):
+        super().__init__()
+        self.backbone = TorchHierarchicalBackbone()
+
+        class Head(nn.Module):
+            def __init__(self, out_dim):
+                super().__init__()
+                self.fc = _v5_head(feature_dim, out_dim)
+
+            def forward(self, x):
+                return self.fc(x)
+
+        self.stage1_head = Head(1)
+        self.stage2_head = Head(5)
+        self.specialist_heads = nn.ModuleDict({
+            "RECT": Head(2), "AB": Head(4), "1TO4": Head(2),
+        })
+
+    def forward(self, x):
+        f = self.backbone(x)
+        return (
+            self.stage1_head(f).squeeze(-1),
+            self.stage2_head(f),
+            {k: h(f) for k, h in self.specialist_heads.items()},
+        )
+
+
+class TorchFGVCModel(nn.Module):
+    """FGVC stack with script-006 naming (feat_proj Sequential indices,
+    classifier.weight)."""
+
+    def __init__(self, num_classes=4, feat_dim=512):
+        super().__init__()
+        self.backbone = TorchImprovedBackbone()
+        self.feat_proj = nn.Sequential(
+            nn.Linear(512, feat_dim), nn.BatchNorm1d(feat_dim), nn.ReLU(),
+            nn.Dropout(0.3),
+            nn.Linear(feat_dim, feat_dim), nn.BatchNorm1d(feat_dim), nn.ReLU(),
+            nn.Dropout(0.3),
+        )
+        class CosineClassifier(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.weight = nn.Parameter(torch.randn(num_classes, feat_dim))
+                self.scale = 20.0
+
+            def forward(self, f):
+                w = F.normalize(self.weight, p=2, dim=1)
+                return self.scale * F.linear(f, w)
+
+        self.classifier = CosineClassifier()
+
+    def forward(self, x):
+        f = self.feat_proj(self.backbone(x))
+        f = F.normalize(f, p=2, dim=1)
+        return self.classifier(f)
