@@ -111,6 +111,26 @@ def shuffled_epoch_indices(n: int, epoch_seed: int) -> np.ndarray:
     return np.random.default_rng(epoch_seed).permutation(n)
 
 
+def host_shard(
+    indices: np.ndarray, process_index: int, process_count: int
+) -> np.ndarray:
+    """This host's contiguous shard of a global epoch index order.
+
+    Multi-host data loading contract: every process derives the identical
+    global order from the shared ``epoch_seed`` (all sampling here is
+    deterministic in it), then takes its contiguous slice — together the
+    hosts realize exactly the torch ``WeightedRandomSampler`` class balance
+    the reference used, with no inter-host communication. Trailing
+    indices that don't divide evenly are dropped so per-host batch counts
+    match (a collective requirement).
+    """
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} out of range")
+    per_host = len(indices) // process_count
+    start = process_index * per_host
+    return indices[start : start + per_host]
+
+
 __all__ = [
     "balanced_epoch_indices",
     "effective_number_weights",

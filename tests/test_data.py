@@ -134,3 +134,18 @@ def test_bundle_metadata_counts():
     assert meta["train"]["stage1_counts"] == [1, 7]
     assert meta["train"]["stage2_counts"] == [1, 2, 4]
     assert meta["train"]["stage3_AB_counts"] == [1, 1, 1, 1]
+
+
+def test_host_shard_contract():
+    from av1tpu.data.sampling import balanced_epoch_indices, host_shard
+
+    labels = np.array([0] * 90 + [1] * 10)
+    # every "host" derives the identical global order from the seed
+    global_a = balanced_epoch_indices(labels, epoch_seed=3)
+    global_b = balanced_epoch_indices(labels, epoch_seed=3)
+    np.testing.assert_array_equal(global_a, global_b)
+    shards = [host_shard(global_a, i, 4) for i in range(4)]
+    assert all(len(s) == 25 for s in shards)
+    np.testing.assert_array_equal(np.concatenate(shards), global_a[:100])
+    with pytest.raises(ValueError):
+        host_shard(global_a, 4, 4)
