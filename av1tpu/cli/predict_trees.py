@@ -1,0 +1,126 @@
+"""CLI: full AV1 partition-tree prediction for whole YUV frames.
+
+The north-star composition (BASELINE.json): tile each frame into 64x64
+superblocks, run the per-block-size v6 cascades over every level of the
+64->32->16->8 hierarchy, and emit one 85-slot partition quadtree per
+superblock:
+
+    python -m av1tpu.cli.predict_trees \
+        --yuv clip_1920x1080_60.yuv --frames 0 1 2 \
+        --models-64 runs64 --models-32 runs32 \
+        --models-16 runs16 --models-8 runs8 \
+        --output-dir runs/trees
+
+Each ``--models-<S>`` directory holds that block size's four stage
+checkpoints (stage1/stage2/stage3_rect/stage3_ab ``*_best_variables.npz``).
+Outputs: ``trees_frame<N>.npz`` (trees + per-level modes + grid) and a
+JSON stats summary.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from av1tpu.cli.common import load_model_variables
+from av1tpu.codec.tree import tree_depth_stats
+from av1tpu.eval.hierarchy import PipelineModels, make_v6_pipeline
+from av1tpu.eval.tree_infer import predict_frame_trees
+from av1tpu.ingest.yuv import Yuv420p10Geometry, infer_resolution, read_y_frame
+from av1tpu.models import (
+    FGVCModel,
+    Stage1Model,
+    Stage2Model,
+    Stage3ABModel,
+    Stage3RectModel,
+)
+
+CKPT_NAMES = {
+    "stage1": (Stage1Model, "stage1_best_variables.npz"),
+    "stage2": (Stage2Model, "stage2_best_variables.npz"),
+    "stage3_rect": (Stage3RectModel, "stage3_rect_best_variables.npz"),
+}
+
+
+def build_level_predictor(model_dir: Path, threshold: float, dtype, ab_fgvc: bool):
+    loaded = {}
+    for key, (cls, fname) in CKPT_NAMES.items():
+        variables = load_model_variables(model_dir / fname)
+        loaded[key] = (cls(dtype=dtype), variables)
+    ab_path = model_dir / (
+        "stage3_ab_fgvc_best_variables.npz" if ab_fgvc else "stage3_ab_best_variables.npz"
+    )
+    if not ab_path.exists():
+        alt = model_dir / "stage3_ab_best_variables.npz"
+        ab_path = alt if alt.exists() else model_dir / "stage3_ab_fgvc_best_variables.npz"
+    ab_vars = load_model_variables(ab_path)
+    ab_vars.pop("centers", None)
+    ab_cls = FGVCModel if "fgvc" in ab_path.name else Stage3ABModel
+    models = PipelineModels(
+        loaded["stage1"][0], loaded["stage1"][1],
+        loaded["stage2"][0], loaded["stage2"][1],
+        loaded["stage3_rect"][0], loaded["stage3_rect"][1],
+        ab_cls(dtype=dtype), ab_vars,
+    )
+    return make_v6_pipeline(models, stage1_threshold=threshold, input_dtype=dtype)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--yuv", type=Path, required=True)
+    parser.add_argument("--resolution", type=str, default=None)
+    parser.add_argument("--frames", type=int, nargs="+", default=[0])
+    for size in (64, 32, 16, 8):
+        parser.add_argument(f"--models-{size}", type=Path, required=True)
+    parser.add_argument("--output-dir", type=Path, required=True)
+    parser.add_argument("--stage1-threshold", type=float, default=0.45)
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--no-ab-fgvc", dest="ab_fgvc", action="store_false",
+                        default=True)
+    args = parser.parse_args(argv)
+
+    if args.resolution:
+        w, h = (int(v) for v in args.resolution.lower().split("x"))
+    else:
+        res = infer_resolution(args.yuv.name)
+        if res is None:
+            parser.error("cannot infer resolution; pass --resolution WxH")
+        w, h = res
+    geom = Yuv420p10Geometry(width=w, height=h)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    predictors = {
+        size: build_level_predictor(
+            getattr(args, f"models_{size}"), args.stage1_threshold, dtype,
+            args.ab_fgvc,
+        )
+        for size in (64, 32, 16, 8)
+    }
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    summary = {}
+    for frame_index in args.frames:
+        plane = read_y_frame(args.yuv, frame_index, geom)
+        start = time.perf_counter()
+        result = predict_frame_trees(plane, predictors, args.batch_size)
+        seconds = time.perf_counter() - start
+        np.savez(
+            out_dir / f"trees_frame{frame_index}.npz",
+            **{k: v for k, v in result.items()},
+        )
+        stats = tree_depth_stats(result["trees"])
+        stats["superblocks"] = int(result["trees"].shape[0])
+        stats["seconds"] = seconds
+        summary[str(frame_index)] = stats
+    (out_dir / "tree_stats.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

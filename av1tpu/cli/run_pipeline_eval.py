@@ -59,11 +59,22 @@ def build_v6(args, dtype):
     s1, s1v = load(args.stage1_checkpoint, Stage1Model)
     s2, s2v = load(args.stage2_checkpoint, Stage2Model)
     s3r, s3rv = load(args.stage3_rect_checkpoint, Stage3RectModel)
-    ab_cls = FGVCModel if args.ab_fgvc else Stage3ABModel
-    s3a, s3av = load(args.stage3_ab_checkpoint, ab_cls)
+    ab_ensemble = None
+    if args.stage3_ab_ensemble_dir is not None:
+        from av1tpu.eval import load_ensemble
+
+        members, meta = load_ensemble(args.stage3_ab_ensemble_dir)
+        ab_ensemble = members
+        s3a = Stage3ABModel(dtype=dtype)
+        s3av = members[0]
+        print(f"AB ensemble: {len(members)} members (soft vote)")
+    else:
+        ab_cls = FGVCModel if args.ab_fgvc else Stage3ABModel
+        s3a, s3av = load(args.stage3_ab_checkpoint, ab_cls)
     models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
     return make_v6_pipeline(
-        models, stage1_threshold=args.stage1_threshold, input_dtype=dtype
+        models, stage1_threshold=args.stage1_threshold, input_dtype=dtype,
+        tta=args.tta, ab_ensemble_vars=ab_ensemble,
     )
 
 
@@ -86,6 +97,11 @@ def main(argv=None) -> None:
     parser.add_argument("--stage3-ab-checkpoint", type=Path)
     parser.add_argument("--ab-fgvc", action="store_true", default=True)
     parser.add_argument("--no-ab-fgvc", dest="ab_fgvc", action="store_false")
+    parser.add_argument("--stage3-ab-ensemble-dir", type=Path, default=None,
+                        help="directory from eval.ensemble.save_ensemble: "
+                        "soft-vote the AB stage over its members")
+    parser.add_argument("--tta", action="store_true",
+                        help="average each stage over 4 TTA views")
     # flatten
     parser.add_argument("--flatten-checkpoint", type=Path)
     # v5
@@ -100,8 +116,11 @@ def main(argv=None) -> None:
     bundle = val_b if args.split == "val" else train_b
 
     if args.variant == "v6":
-        for req in ("stage1_checkpoint", "stage2_checkpoint",
-                    "stage3_rect_checkpoint", "stage3_ab_checkpoint"):
+        required = ["stage1_checkpoint", "stage2_checkpoint",
+                    "stage3_rect_checkpoint"]
+        if args.stage3_ab_ensemble_dir is None:
+            required.append("stage3_ab_checkpoint")
+        for req in required:
             if getattr(args, req) is None:
                 parser.error(f"--{req.replace('_', '-')} required for v6")
         predict = build_v6(args, dtype)

@@ -113,6 +113,10 @@ def main(argv=None) -> None:
                         help="adversarial noise-injection fraction")
     parser.add_argument("--noise-dataset-dir", type=Path, default=None,
                         help="v6 dataset dir supplying noise source samples")
+    parser.add_argument("--noise-label-dist", type=str, default=None,
+                        help="comma-separated class probabilities for "
+                        "confusion-based noise labels (H3.2); default "
+                        "uniform like the reference")
     parser.add_argument("--stage2-checkpoint", type=Path, default=None)
     args = parser.parse_args(argv)
 
@@ -139,10 +143,20 @@ def main(argv=None) -> None:
                 src = filter_stage3(full_train, fam)
             if len(src):
                 sources.append(src)
+        label_dist = None
+        if args.noise_label_dist:
+            label_dist = np.array(
+                [float(v) for v in args.noise_label_dist.split(",")]
+            )
+            if len(label_dist) != num_classes:
+                parser.error(
+                    f"--noise-label-dist needs {num_classes} probabilities"
+                )
         train_b = build_noisy_bundle(
             train_b, sources, label_key=label_key,
             num_label_classes=num_classes,
             noise_ratio=args.noise_ratio, seed=args.seed,
+            label_distribution=label_dist,
         )
         print(f"noise injection: ratio={args.noise_ratio}, "
               f"total={len(train_b)} samples")

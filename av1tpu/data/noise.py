@@ -14,7 +14,7 @@ any other.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -28,13 +28,19 @@ def build_noisy_bundle(
     num_label_classes: int,
     noise_ratio: float = 0.25,
     seed: int = 42,
+    label_distribution: "np.ndarray" = None,
 ) -> Bundle:
     """Mix ``1-noise_ratio`` clean samples with relabeled noise samples.
 
     Sizing matches the reference: total size == len(clean); clean subset is
     a sorted no-replacement draw; noise is split evenly across sources and
-    each noise sample gets a uniform random label in
-    ``[0, num_label_classes)`` (005:61-120 semantics).
+    each noise sample gets a random label in ``[0, num_label_classes)``
+    (005:61-120 semantics) — uniform by default, or drawn from
+    ``label_distribution`` for *confusion-based* noise injection: pass the
+    real downstream-stage misclassification profile (e.g. from
+    ``cli.analyze_confusion``) so injected labels mirror how the upstream
+    stage actually errs (hypothesis H3.2, which the reference analyzed via
+    scripts/009 but never wired into training).
     """
     if not 0.0 <= noise_ratio < 1.0:
         raise ValueError("noise_ratio must be in [0, 1)")
@@ -53,9 +59,16 @@ def build_noisy_bundle(
                 continue
             idx = rng.choice(len(src), min(per_source, len(src)), replace=False)
             sub = src.take(idx)
-            random_labels = rng.randint(
-                0, num_label_classes, size=len(sub)
-            ).astype(np.int32)
+            if label_distribution is not None:
+                probs = np.asarray(label_distribution, dtype=np.float64)
+                probs = probs / probs.sum()
+                random_labels = rng.choice(
+                    num_label_classes, size=len(sub), p=probs
+                ).astype(np.int32)
+            else:
+                random_labels = rng.randint(
+                    0, num_label_classes, size=len(sub)
+                ).astype(np.int32)
             labels = {k: v.copy() for k, v in sub.labels.items()}
             labels[label_key] = random_labels
             parts.append(Bundle(samples=sub.samples, qps=sub.qps, labels=labels))

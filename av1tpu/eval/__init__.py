@@ -19,11 +19,18 @@ from av1tpu.eval.ensemble import (  # noqa: F401
     ensemble_diversity,
     fit_stacking,
     hard_vote,
+    load_ensemble,
     predict_with_uncertainty,
+    save_ensemble,
     soft_vote,
     stacked_member_logits,
     stacking_predict,
+    tta_logits,
     weighted_vote,
+)
+from av1tpu.eval.tree_infer import (  # noqa: F401
+    predict_frame_trees,
+    predict_partition_trees,
 )
 from av1tpu.eval.report import (  # noqa: F401
     write_metrics_json,

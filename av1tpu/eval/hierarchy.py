@@ -23,7 +23,6 @@ independent of the gating, so masked selection commutes with sub-batching).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
 
 import jax
@@ -53,6 +52,8 @@ def make_v6_pipeline(
     stage1_threshold: float = 0.45,
     norm_scale: float = NORM_10BIT,
     input_dtype=jnp.float32,
+    tta: bool = False,
+    ab_ensemble_vars: Optional[List[Mapping]] = None,
 ):
     """Build the fused v6 pipeline: ``predict(images_u16) -> dict``.
 
@@ -60,25 +61,53 @@ def make_v6_pipeline(
     4..7=AB) plus every stage's raw predictions for stage-wise metrics.
     Routing parity: 008_run_pipeline_eval_v6.py:69-127 with the optimized
     default threshold 0.45 (README.md:176-182).
+
+    ``tta`` averages each stage's logits over the 4 test-time-augmentation
+    views (original/hflip/vflip/rot180 — augmentation.py:251-276), still in
+    one fused graph. ``ab_ensemble_vars`` replaces the single AB model with
+    soft voting over the member variable trees (ensemble.py:51-56
+    semantics), evaluated as one vmapped forward over stacked params.
     """
+    ab_stacked = None
+    if ab_ensemble_vars:
+        ab_stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]),
+            *ab_ensemble_vars,
+        )
+
+    def stage_logits(model, variables, x):
+        if not tta:
+            return model.apply(variables, x, train=False)
+        from av1tpu.train.augment import tta_views
+
+        views = tta_views(x)
+        logits = jax.vmap(lambda v: model.apply(variables, v, train=False))(views)
+        return jnp.mean(logits, axis=0)
 
     @jax.jit
     def predict(images) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         x = x.astype(input_dtype)
 
-        s1_logits = models.stage1.apply(models.stage1_vars, x, train=False)
+        s1_logits = stage_logits(models.stage1, models.stage1_vars, x)
         s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
         s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
 
-        s2_logits = models.stage2.apply(models.stage2_vars, x, train=False)
+        s2_logits = stage_logits(models.stage2, models.stage2_vars, x)
         s2_pred = jnp.argmax(s2_logits, axis=-1).astype(jnp.int32)
 
-        rect_logits = models.stage3_rect.apply(models.stage3_rect_vars, x, train=False)
+        rect_logits = stage_logits(models.stage3_rect, models.stage3_rect_vars, x)
         rect_pred = jnp.argmax(rect_logits, axis=-1).astype(jnp.int32)
 
-        ab_logits = models.stage3_ab.apply(models.stage3_ab_vars, x, train=False)
-        ab_pred = jnp.argmax(ab_logits, axis=-1).astype(jnp.int32)
+        if ab_stacked is not None:
+            member_logits = jax.vmap(
+                lambda v: stage_logits(models.stage3_ab, v, x)
+            )(ab_stacked)
+            ab_probs = jnp.mean(jax.nn.softmax(member_logits, axis=-1), axis=0)
+            ab_pred = jnp.argmax(ab_probs, axis=-1).astype(jnp.int32)
+        else:
+            ab_logits = stage_logits(models.stage3_ab, models.stage3_ab_vars, x)
+            ab_pred = jnp.argmax(ab_logits, axis=-1).astype(jnp.int32)
 
         final = jnp.where(
             s1_pred == 0,

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Mapping
 
-import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.codec.partitions import V6_FINAL_TO_RAW

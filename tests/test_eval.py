@@ -258,3 +258,55 @@ def test_stacked_member_logits_vmap():
     # member 0 must equal a direct forward
     direct = np.asarray(model.apply(v1, jnp.asarray(images[:16])))
     np.testing.assert_allclose(out[0, :16], direct, rtol=1e-5)
+
+
+def test_pipeline_tta_option():
+    """TTA-averaged pipeline must agree with manual 4-view logit average."""
+    s1_model, s1_vars = make_stub(1, 20)
+    s2_model, s2_vars = make_stub(3, 21)
+    r_model, r_vars = make_stub(2, 22)
+    a_model, a_vars = make_stub(4, 23)
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+    predict = make_v6_pipeline(models, tta=True, norm_scale=1023.0)
+    samples = np.random.default_rng(7).integers(
+        0, 1024, size=(16, 8, 8, 1), dtype=np.uint16
+    )
+    out = predict(jnp.asarray(samples))
+
+    from av1tpu.train.augment import tta_views
+
+    x = jnp.asarray(samples.astype(np.float32) / 1023.0)
+    views = tta_views(x)
+    s2_logits = jnp.mean(
+        jax.vmap(lambda v: s2_model.apply(s2_vars, v))(views), axis=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["stage2_pred"]), np.asarray(jnp.argmax(s2_logits, axis=-1))
+    )
+
+
+def test_pipeline_ab_ensemble_soft_vote():
+    s1_model, s1_vars = make_stub(1, 30)
+    s2_model, s2_vars = make_stub(3, 31)
+    r_model, r_vars = make_stub(2, 32)
+    a_model, a_vars1 = make_stub(4, 33)
+    _, a_vars2 = make_stub(4, 34)
+    _, a_vars3 = make_stub(4, 35)
+    members = [a_vars1, a_vars2, a_vars3]
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars1
+    )
+    predict = make_v6_pipeline(models, ab_ensemble_vars=members, norm_scale=1023.0)
+    samples = np.random.default_rng(8).integers(
+        0, 1024, size=(16, 8, 8, 1), dtype=np.uint16
+    )
+    out = predict(jnp.asarray(samples))
+
+    x = jnp.asarray(samples.astype(np.float32) / 1023.0)
+    member_logits = np.stack(
+        [np.asarray(a_model.apply(v, x)) for v in members]
+    )
+    want = soft_vote(member_logits)
+    np.testing.assert_array_equal(np.asarray(out["stage3_ab_pred"]), want)

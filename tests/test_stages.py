@@ -203,3 +203,18 @@ def test_resume_from_checkpoint(tmp_path):
     # fast-forwarded past epoch 0: only epoch 1 recorded
     assert [h["epoch"] for h in r2.history] == [1]
     assert np.isfinite(r2.history[0]["val_loss"])
+
+
+def test_confusion_based_noise_distribution():
+    """Noise labels follow the supplied distribution, not uniform."""
+    rect_labels = np.tile([1, 2], 64)
+    clean = filter_stage3(make_bundle(rect_labels), "RECT")
+    noise_src = filter_stage2_v6(make_bundle(np.tile([3, 4], 64), seed=3))
+    noisy = build_noisy_bundle(
+        clean, [noise_src], label_key="stage3_RECT", num_label_classes=2,
+        noise_ratio=0.5, seed=0, label_distribution=np.array([1.0, 0.0]),
+    )
+    # the injected half must all carry label 0
+    n_clean = int(len(clean) * 0.5)
+    injected = noisy.labels["stage3_RECT"][n_clean:]
+    np.testing.assert_array_equal(injected, 0)
