@@ -39,8 +39,9 @@ def main(argv=None) -> None:
                         help="extracted data dir (reference layout or npz)")
     parser.add_argument("--out", type=Path, required=True)
     parser.add_argument("--variant", choices=tuple(BUILDERS), default="v6")
-    parser.add_argument("--block-size", type=int, default=16,
-                        choices=(8, 16, 32, 64))
+    parser.add_argument("--block-size", type=int, nargs="+", default=[16],
+                        choices=(8, 16, 32, 64),
+                        help="one or more block sizes (a block_<S> dir each)")
     parser.add_argument("--format", choices=("reference", "npz"),
                         default="reference")
     parser.add_argument("--test-ratio", type=float, default=0.2)
@@ -49,21 +50,22 @@ def main(argv=None) -> None:
                         help="drop PARTITION_NONE samples (v5 008 flag)")
     args = parser.parse_args(argv)
 
-    if args.format == "reference":
-        record = load_reference_layout(args.raw, str(args.block_size))
-    else:
-        record = load_npz_sequences(args.raw, args.block_size)
+    for block_size in args.block_size:
+        if args.format == "reference":
+            record = load_reference_layout(args.raw, str(block_size))
+        else:
+            record = load_npz_sequences(args.raw, block_size)
 
-    train_rec, val_rec = train_test_split(record, args.test_ratio, args.seed)
-    build = BUILDERS[args.variant]
-    train_b, val_b = build(train_rec), build(val_rec)
-    if args.partitioned_only:
-        train_b = filter_partitioned_only(train_b)
-        val_b = filter_partitioned_only(val_b)
+        train_rec, val_rec = train_test_split(record, args.test_ratio, args.seed)
+        build = BUILDERS[args.variant]
+        train_b, val_b = build(train_rec), build(val_rec)
+        if args.partitioned_only:
+            train_b = filter_partitioned_only(train_b)
+            val_b = filter_partitioned_only(val_b)
 
-    root = save_split(args.out, args.block_size, train_b, val_b, args.variant)
-    meta = json.loads((root / "metadata.json").read_text())
-    print(json.dumps(meta, indent=2))
+        root = save_split(args.out, block_size, train_b, val_b, args.variant)
+        meta = json.loads((root / "metadata.json").read_text())
+        print(json.dumps(meta, indent=2))
 
 
 if __name__ == "__main__":

@@ -102,6 +102,10 @@ def main(argv=None) -> None:
                         "soft-vote the AB stage over its members")
     parser.add_argument("--tta", action="store_true",
                         help="average each stage over 4 TTA views")
+    parser.add_argument("--reference-compat-labels", action="store_true",
+                        help="v6 only: reproduce the reference's misaligned "
+                        "raw-vs-reordered label comparison (quirk Q7) for "
+                        "exact number matching against its published metrics")
     # flatten
     parser.add_argument("--flatten-checkpoint", type=Path)
     # v5
@@ -134,7 +138,10 @@ def main(argv=None) -> None:
             Stage2FlatModel(dtype=dtype), flat_vars,
             stage1_threshold=args.stage1_threshold,
         )
-        class_names = list(V6_EVAL_CLASS_NAMES)
+        # flatten predictions are RAW partition ids (reference 008b remaps
+        # flatten->raw, which IS consistent with the raw ground truth)
+        class_names = [PARTITION_ID_TO_NAME[i].replace("PARTITION_", "")
+                       for i in range(8)]
         label_space = 8
     else:
         v5_vars = load_model_variables(args.v5_checkpoint)
@@ -151,7 +158,15 @@ def main(argv=None) -> None:
     seconds = time.perf_counter() - start
     throughput = len(bundle) / seconds
 
-    labels = np.clip(bundle.labels["stage0"], 0, label_space - 1)
+    raw_labels = bundle.labels["stage0"]
+    if args.variant == "v6" and not args.reference_compat_labels:
+        from av1tpu.codec.partitions import raw_to_v6_final
+
+        labels = raw_to_v6_final(raw_labels)  # -1 for 1TO4: excluded
+    else:
+        # raw-id spaces (v5/flatten), or the reference's misaligned v6
+        # comparison (quirk Q7) when --reference-compat-labels is set
+        labels = np.clip(raw_labels, 0, label_space - 1)
     final = out["final"]
     metrics = compute_metrics(labels, final, labels=class_names)
 
@@ -168,6 +183,10 @@ def main(argv=None) -> None:
         "metrics": metrics,
         "stage1": stage1_metrics,
     }
+    if args.variant == "v6":
+        from av1tpu.eval.cascade import decompose_v6
+
+        payload["cascade"] = decompose_v6(out, bundle.labels["stage0"])
     out_dir = Path(args.output_dir)
     write_metrics_json(out_dir / f"pipeline_metrics_{args.split}.json", payload)
     write_predictions_npz(
@@ -178,7 +197,7 @@ def main(argv=None) -> None:
         rows = [
             {
                 "index": i,
-                "true": class_names[int(labels[i])],
+                "true": class_names[int(labels[i])] if labels[i] >= 0 else "EXCLUDED",
                 "pred": class_names[int(final[i])],
                 "stage1_prob": float(out["stage1_prob"][i]),
             }

@@ -139,6 +139,22 @@ V6_EVAL_CLASS_NAMES = (
 # (NONE->NONE, SPLIT->SPLIT, HORZ/VERT->1/2, AB->4..7).
 V6_FINAL_TO_RAW = np.array([0, 3, 1, 2, 4, 5, 6, 7], dtype=np.int32)
 
+# Inverse: raw partition id -> v6 8-class pipeline id; 1TO4 (raw 8/9) has no
+# slot in the realized v6 space and maps to -1 (excluded from metrics).
+#
+# QUIRK Q7 (reference bug): the reference's v6 pipeline eval compares its
+# reordered predictions (SPLIT=1, HORZ=2, VERT=3) directly against the raw
+# ``labels_stage0`` (HORZ=1, VERT=2, SPLIT=3) — see
+# 008_run_pipeline_eval_v6.py:51-67,138-149 vs 001_prepare_v6_dataset.py:87 —
+# so SPLIT/HORZ/VERT are misaligned in its published pipeline metrics. This
+# table is the correct alignment; the CLIs keep a compat switch that
+# reproduces the reference's misaligned comparison for number-matching.
+RAW_TO_V6_FINAL = np.array([0, 2, 3, 1, 4, 5, 6, 7, -1, -1], dtype=np.int32)
+
+
+def raw_to_v6_final(raw_ids):
+    return _take(RAW_TO_V6_FINAL, raw_ids)
+
 
 def _build_table(groups: Dict[str, Tuple[str, ...]], fill: int = -1) -> np.ndarray:
     """Build a 10-entry partition-id -> group-id lookup table."""
@@ -286,7 +302,10 @@ __all__ = [
     "STAGE3_GROUPS_V6",
     "STAGE3_TABLES_V5",
     "STAGE3_TABLES_V6",
+    "RAW_TO_V6_FINAL",
     "V6_EVAL_CLASS_NAMES",
+    "V6_FINAL_TO_RAW",
+    "raw_to_v6_final",
     "class_distribution",
     "flatten_to_raw",
     "map_to_flatten",

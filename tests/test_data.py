@@ -149,3 +149,21 @@ def test_host_shard_contract():
     np.testing.assert_array_equal(np.concatenate(shards), global_a[:100])
     with pytest.raises(ValueError):
         host_shard(global_a, 4, 4)
+
+
+def test_load_torch_bundle_compat(tmp_path):
+    """Reference train.pt/val.pt bundles load as numpy with NCHW->NHWC."""
+    torch = pytest.importorskip("torch")
+    from av1tpu.data import load_torch_bundle
+
+    payload = {
+        "samples": torch.rand(10, 1, 16, 16),
+        "labels_stage0": torch.randint(0, 8, (10,)),
+        "qps": torch.full((10,), 80.0),
+        "note": "metadata string",
+    }
+    torch.save(payload, tmp_path / "val.pt")
+    arrays, meta = load_torch_bundle(tmp_path / "val.pt")
+    assert arrays["samples"].shape == (10, 16, 16, 1)
+    assert arrays["labels_stage0"].shape == (10,)
+    assert meta["note"] == "metadata string"

@@ -310,3 +310,31 @@ def test_pipeline_ab_ensemble_soft_vote():
     )
     want = soft_vote(member_logits)
     np.testing.assert_array_equal(np.asarray(out["stage3_ab_pred"]), want)
+
+
+def test_cascade_decomposition():
+    from av1tpu.eval.cascade import decompose_v6
+
+    # hand-built scenario:
+    # s0: NONE gated correctly           -> correct
+    # s1: SPLIT, gate says NONE          -> stage1 FN
+    # s2: NONE, gate passes, final SPLIT -> stage1 FP
+    # s3: HORZ, gate ok, s2 says AB      -> stage2 misroute
+    # s4: HORZ, routing ok, picks VERT   -> stage3 refinement
+    # s5: HORZ_A fully correct           -> correct
+    labels = np.array([0, 3, 0, 1, 1, 4])
+    outputs = {
+        "final":       np.array([0, 0, 1, 5, 3, 4]),
+        "stage1_pred": np.array([0, 0, 1, 1, 1, 1]),
+        "stage2_pred": np.array([0, 0, 0, 2, 1, 2]),
+    }
+    d = decompose_v6(outputs, labels)
+    att = d["error_attribution"]
+    assert att["correct"] == 2
+    assert att["stage1_false_negative"] == 1
+    assert att["stage1_false_positive"] == 1
+    assert att["stage2_misroute"] == 1
+    assert att["stage3_refinement"] == 1
+    assert d["conditional"]["stage3_rect_acc_given_routing"] == 0.0
+    assert d["conditional"]["stage3_ab_acc_given_routing"] == 1.0
+    assert abs(d["accuracy"] - 2 / 6) < 1e-9
