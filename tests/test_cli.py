@@ -155,3 +155,79 @@ def test_full_cli_chain(workspace):
     ])
     conf = json.loads((runs / "analysis" / "stage2_confusion.json").read_text())
     assert len(conf["confusion_matrix"]) == 3
+
+
+def test_v5_cli_chain(workspace, tmp_path):
+    """v5 variant: dataset prep -> v5 stage1 train -> v5 pipeline eval."""
+    from av1tpu.cli import prepare_dataset, train_stage1, run_pipeline_eval
+
+    work = workspace
+    dataset = tmp_path / "v5_dataset"
+    prepare_dataset.main([
+        "--raw", str(work / "extracted"), "--out", str(dataset),
+        "--variant", "v5", "--block-size", "16", "--test-ratio", "0.3",
+    ])
+    runs = tmp_path / "v5_runs"
+    train_stage1.main([
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--output-dir", str(runs / "stage1"), "--variant", "v5",
+        "--epochs", "1", "--batch-size", "16",
+    ])
+    ckpt = runs / "stage1" / "v5_stage1_best_variables.npz"
+    assert ckpt.exists()
+    run_pipeline_eval.main([
+        "--variant", "v5",
+        "--dataset-dir", str(dataset), "--block-size", "16",
+        "--output-dir", str(runs / "pipeline"),
+        "--batch-size", "32",
+        "--v5-checkpoint", str(ckpt),
+    ])
+    metrics = json.loads(
+        (runs / "pipeline" / "pipeline_metrics_val.json").read_text()
+    )
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+
+
+def test_flatten_cli_chain(workspace, tmp_path):
+    """flatten variant: dataset prep -> 7-way train -> flatten eval."""
+    from av1tpu.cli import (
+        prepare_dataset, train_stage1, train_stage2_flat, run_pipeline_eval,
+    )
+
+    work = workspace
+    v6_dataset = tmp_path / "v6_ds"
+    flat_dataset = tmp_path / "flat_ds"
+    prepare_dataset.main([
+        "--raw", str(work / "extracted"), "--out", str(v6_dataset),
+        "--variant", "v6", "--block-size", "16", "--test-ratio", "0.3",
+    ])
+    prepare_dataset.main([
+        "--raw", str(work / "extracted"), "--out", str(flat_dataset),
+        "--variant", "flatten", "--block-size", "16", "--test-ratio", "0.3",
+    ])
+    runs = tmp_path / "flat_runs"
+    train_stage1.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "stage1"),
+        "--epochs", "1", "--batch-size", "16",
+    ])
+    train_stage2_flat.main([
+        "--dataset-dir", str(flat_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "flat"),
+        "--epochs", "2", "--freeze-epochs", "1", "--batch-size", "16",
+    ])
+    flat_ckpt = runs / "flat" / "stage2_flat_best_variables.npz"
+    assert flat_ckpt.exists()
+    run_pipeline_eval.main([
+        "--variant", "flatten",
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "pipeline"),
+        "--batch-size", "32",
+        "--stage1-checkpoint",
+        str(runs / "stage1" / "stage1_best_variables.npz"),
+        "--flatten-checkpoint", str(flat_ckpt),
+    ])
+    metrics = json.loads(
+        (runs / "pipeline" / "pipeline_metrics_val.json").read_text()
+    )
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0

@@ -102,3 +102,23 @@ def test_visualize_blocks_cli(tmp_path):
         "--out", str(tmp_path / "viz.png"),
     ])
     assert (tmp_path / "viz.png").exists()
+
+
+def test_throughput_meter_and_trace(tmp_path):
+    import time
+    from av1tpu.utils import ThroughputMeter, annotate, trace
+
+    meter = ThroughputMeter(unit="samples")
+    for _ in range(5):
+        with meter.step(100):
+            time.sleep(0.001)
+    summary = meter.summary()
+    assert summary["steps"] == 4  # first skipped as warmup
+    assert summary["samples_per_sec"] > 0
+    meter.save(tmp_path / "m.json")
+    assert (tmp_path / "m.json").exists()
+
+    with trace(tmp_path / "traces", "test"):
+        with annotate("inner"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert any((tmp_path / "traces").rglob("*"))
