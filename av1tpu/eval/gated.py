@@ -1,0 +1,102 @@
+"""Fixed-capacity gated inference: static-shape sparsity for serving.
+
+The dense pipeline (:mod:`av1tpu.eval.hierarchy`) evaluates stages 2/3 on
+every sample, spending ~3/4 of its FLOPs on blocks the stage-1 gate
+discarded. The reference's answer — dynamic gather sub-batching — doesn't
+map to XLA. This module implements the TPU-native middle ground:
+
+  * stage 1 runs dense;
+  * a STATIC capacity ``K = ceil(capacity * N)`` of samples is selected by
+    stage-1 probability (top-K via argsort — a fixed-shape gather);
+  * stages 2/3 run only on the K-batch; results scatter back.
+
+Semantics: whenever the number of gate-passing samples is <= K, the output
+is bit-identical to the dense pipeline (the top-K always contains every
+passing sample). With more passers than K, the lowest-probability overflow
+samples fall back to PARTITION_SPLIT (the conservative choice: SPLIT keeps
+the encoder searching subdivisions) and ``overflow`` reports how many.
+Choose ``capacity`` from the deployment's observed gate rate; capacity=1.0
+degenerates to dense.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from av1tpu.data.records import NORM_10BIT
+from av1tpu.eval.hierarchy import PipelineModels
+
+
+def make_v6_pipeline_gated(
+    models: PipelineModels,
+    capacity: float = 0.5,
+    stage1_threshold: float = 0.45,
+    norm_scale: float = NORM_10BIT,
+    input_dtype=jnp.float32,
+):
+    """Build the capacity-gated fused pipeline.
+
+    Returns ``predict(images_u16) -> dict`` with the same keys as the dense
+    pipeline plus ``overflow`` (number of gate-passing samples beyond
+    capacity that fell back to SPLIT).
+    """
+    if not 0.0 < capacity <= 1.0:
+        raise ValueError("capacity must be in (0, 1]")
+
+    @jax.jit
+    def predict(images) -> Dict[str, jnp.ndarray]:
+        n = images.shape[0]
+        k = max(1, int(-(-capacity * n // 1)))  # ceil, static
+        x = images.astype(jnp.float32) / norm_scale
+        x = x.astype(input_dtype)
+
+        s1_logits = models.stage1.apply(models.stage1_vars, x, train=False)
+        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
+        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
+
+        # top-K by gate probability; fixed-shape gather
+        order = jnp.argsort(-s1_prob)
+        topk_idx = order[:k]
+        x_sel = x[topk_idx]
+
+        s2_pred_k = jnp.argmax(
+            models.stage2.apply(models.stage2_vars, x_sel, train=False), axis=-1
+        ).astype(jnp.int32)
+        rect_pred_k = jnp.argmax(
+            models.stage3_rect.apply(models.stage3_rect_vars, x_sel, train=False),
+            axis=-1,
+        ).astype(jnp.int32)
+        ab_pred_k = jnp.argmax(
+            models.stage3_ab.apply(models.stage3_ab_vars, x_sel, train=False),
+            axis=-1,
+        ).astype(jnp.int32)
+
+        final_k = jnp.where(
+            s2_pred_k == 0,
+            1,
+            jnp.where(s2_pred_k == 1, rect_pred_k + 2, ab_pred_k + 4),
+        )
+
+        # scatter back; unselected gate-passers fall back to SPLIT (=1)
+        final = jnp.ones((n,), dtype=jnp.int32)  # SPLIT default
+        final = final.at[topk_idx].set(final_k)
+        final = jnp.where(s1_pred == 0, 0, final)
+
+        s2_full = jnp.full((n,), -1, jnp.int32).at[topk_idx].set(s2_pred_k)
+        computed = jnp.zeros((n,), bool).at[topk_idx].set(True)
+        overflow = jnp.sum((s1_pred == 1) & ~computed)
+
+        return {
+            "final": final,
+            "stage1_prob": s1_prob,
+            "stage1_pred": s1_pred,
+            "stage2_pred": s2_full,
+            "overflow": overflow,
+        }
+
+    return predict
+
+
+__all__ = ["make_v6_pipeline_gated"]

@@ -338,3 +338,68 @@ def test_cascade_decomposition():
     assert d["conditional"]["stage3_rect_acc_given_routing"] == 0.0
     assert d["conditional"]["stage3_ab_acc_given_routing"] == 1.0
     assert abs(d["accuracy"] - 2 / 6) < 1e-9
+
+
+def test_gated_pipeline_matches_dense_when_capacity_covers():
+    from av1tpu.eval.gated import make_v6_pipeline_gated
+
+    s1_model, s1_vars = make_stub(1, 40)
+    s2_model, s2_vars = make_stub(3, 41)
+    r_model, r_vars = make_stub(2, 42)
+    a_model, a_vars = make_stub(4, 43)
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+    dense = make_v6_pipeline(models, norm_scale=1023.0)
+    samples = np.random.default_rng(9).integers(
+        0, 1024, size=(128, 8, 8, 1), dtype=np.uint16
+    )
+    want = dense(jnp.asarray(samples))
+
+    gated_full = make_v6_pipeline_gated(models, capacity=1.0, norm_scale=1023.0)
+    got = gated_full(jnp.asarray(samples))
+    np.testing.assert_array_equal(np.asarray(got["final"]), np.asarray(want["final"]))
+    assert int(got["overflow"]) == 0
+
+    # capacity covering the actual pass count also matches bit-exactly
+    pass_frac = float(np.asarray(want["stage1_pred"]).mean())
+    if 0 < pass_frac < 1:
+        gated = make_v6_pipeline_gated(
+            models, capacity=min(1.0, pass_frac + 0.1), norm_scale=1023.0
+        )
+        got2 = gated(jnp.asarray(samples))
+        np.testing.assert_array_equal(
+            np.asarray(got2["final"]), np.asarray(want["final"])
+        )
+        assert int(got2["overflow"]) == 0
+
+
+def test_gated_pipeline_overflow_fallback():
+    from av1tpu.eval.gated import make_v6_pipeline_gated
+    from flax import linen as nn
+
+    class AlwaysPass(nn.Module):
+        num_outputs: int = 1
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            self.param("dummy", nn.initializers.zeros, (1,))
+            return jnp.full((x.shape[0],), 5.0)  # sigmoid ~ 1
+
+    s1_model = AlwaysPass()
+    s1_vars = s1_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    s2_model, s2_vars = make_stub(3, 51)
+    r_model, r_vars = make_stub(2, 52)
+    a_model, a_vars = make_stub(4, 53)
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+    gated = make_v6_pipeline_gated(models, capacity=0.25, norm_scale=1023.0)
+    samples = np.random.default_rng(10).integers(
+        0, 1024, size=(64, 8, 8, 1), dtype=np.uint16
+    )
+    out = gated(jnp.asarray(samples))
+    assert int(out["overflow"]) == 48  # 75% of an all-pass batch overflows
+    final = np.asarray(out["final"])
+    computed = np.asarray(out["stage2_pred"]) >= 0
+    np.testing.assert_array_equal(final[~computed], 1)  # SPLIT fallback
