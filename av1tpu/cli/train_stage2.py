@@ -83,7 +83,7 @@ def main(argv=None) -> None:
         recipe = stage2_recipe(
             samples_per_class=counts,
             freeze_epochs=args.freeze_epochs,
-            unfreeze_epochs=(args.epochs or 30) - args.freeze_epochs,
+            unfreeze_epochs=max(1, (args.epochs or 30) - args.freeze_epochs),
             head_lr=args.head_lr,
             backbone_lr=args.backbone_lr,
             batch_size=args.batch_size,

@@ -34,7 +34,7 @@ def main(argv=None) -> None:
     recipe = flatten_recipe(
         samples_per_class=counts,
         freeze_epochs=args.freeze_epochs,
-        unfreeze_epochs=(args.epochs or 40) - args.freeze_epochs,
+        unfreeze_epochs=max(1, (args.epochs or 40) - args.freeze_epochs),
         max_lr=args.lr or 1e-3,
         batch_size=args.batch_size,
         gamma=args.gamma,

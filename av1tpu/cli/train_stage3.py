@@ -204,7 +204,7 @@ def main(argv=None) -> None:
         weights = weights / weights.sum() * 2
         recipe = stage3_rect_recipe(
             class_weights=weights,
-            unfreeze_epochs=(args.epochs or 30) - 5,
+            unfreeze_epochs=max(1, (args.epochs or 30) - 5),
             head_lr=args.lr or 1e-3,
             batch_size=args.batch_size,
             steps_per_epoch=steps_per_epoch,
@@ -212,7 +212,7 @@ def main(argv=None) -> None:
         )
     else:
         recipe = stage3_ab_fgvc_recipe(
-            unfreeze_epochs=(args.epochs or 30) - 5,
+            unfreeze_epochs=max(1, (args.epochs or 30) - 5),
             head_lr=args.lr or 1e-3,
             batch_size=args.batch_size,
             steps_per_epoch=steps_per_epoch,

@@ -32,6 +32,8 @@ from av1tpu.eval.tree_infer import (  # noqa: F401
     predict_frame_trees,
     predict_partition_trees,
 )
+from av1tpu.eval.gated import make_v6_pipeline_gated  # noqa: F401
+from av1tpu.eval.cascade import decompose_v6  # noqa: F401
 from av1tpu.eval.report import (  # noqa: F401
     write_metrics_json,
     write_predictions_csv,

@@ -265,3 +265,23 @@ def test_torch_import_fgvc_parity():
     np.testing.assert_array_equal(
         np.asarray(got).argmax(axis=1), ref_logits.argmax(axis=1)
     )
+
+
+@pytest.mark.parametrize("size", [8, 32])
+def test_backbone_all_reference_block_sizes(size):
+    """The v6 backbone must handle every reference block size (8..64)."""
+    model = ImprovedBackbone()
+    x = jnp.zeros((2, size, size, 1))
+    variables = model.init(KEY, x)
+    assert model.apply(variables, x).shape == (2, 512)
+
+
+@pytest.mark.parametrize("size", [8, 32, 64])
+def test_v5_backbone_all_block_sizes(size):
+    from av1tpu.models import HierarchicalBackbone
+
+    model = HierarchicalBackbone()
+    x = jnp.zeros((2, size, size, 1))
+    variables = model.init(KEY, x)
+    feats = model.apply(variables, x)
+    assert feats.shape == (2, 128)
