@@ -229,22 +229,31 @@ def make_flatten_pipeline(
 
 def run_pipeline_batched(
     predict_fn: Callable,
-    samples: np.ndarray,
+    samples,
     batch_size: int = 4096,
 ) -> Dict[str, np.ndarray]:
     """Stream a whole dataset through a fused pipeline in fixed-shape
-    batches (pads the tail; trims outputs)."""
+    batches (pads the tail; trims outputs). Accepts host numpy arrays or
+    device (jax) arrays — device inputs are sliced/padded with jnp ops so
+    nothing round-trips through the host."""
     n = samples.shape[0]
-    outputs: Dict[str, List[np.ndarray]] = {}
+    on_device = not isinstance(samples, np.ndarray)
+    xp = jnp if on_device else np
+    outputs: Dict[str, List] = {}
     for start in range(0, n, batch_size):
         chunk = samples[start : start + batch_size]
         if chunk.shape[0] < batch_size:
-            pad = np.repeat(chunk[:1], batch_size - chunk.shape[0], axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
-        result = predict_fn(jnp.asarray(chunk))
+            pad = xp.repeat(chunk[:1], batch_size - chunk.shape[0], axis=0)
+            chunk = xp.concatenate([chunk, pad], axis=0)
+        result = predict_fn(chunk if on_device else jnp.asarray(chunk))
+        # Keep chunk outputs on device: converting per chunk would force a
+        # blocking sync per call and serialize the dispatch pipeline.
         for key, value in result.items():
-            outputs.setdefault(key, []).append(np.asarray(value))
-    return {k: np.concatenate(v, axis=0)[:n] for k, v in outputs.items()}
+            outputs.setdefault(key, []).append(value)
+    return {
+        k: np.asarray(jnp.concatenate([jnp.atleast_1d(v) for v in vals], axis=0))[:n]
+        for k, vals in outputs.items()
+    }
 
 
 __all__ = [

@@ -43,19 +43,50 @@ def predict_partition_trees(
     if missing:
         raise ValueError(f"missing level predictors for sizes: {missing}")
 
+    import jax
+    import jax.numpy as jnp
+
     superblocks = np.asarray(superblocks)
     if superblocks.ndim == 4:
         superblocks = superblocks[..., 0]
     n = superblocks.shape[0]
-    level_inputs = flatten_superblock(superblocks)
+
+    # Upload the 64x64 superblocks ONCE; every level's sub-blocks derive on
+    # device via jitted quad tiling (a reshape/transpose — no extra HBM
+    # traffic, and 4x less host->device transfer than per-level uploads).
+    device_sbs = jnp.asarray(superblocks)
+
+    def _quad_tile_fn(sbs, size: int):
+        current = sbs[:, None]
+        cur = 64
+        while cur > size:
+            half = cur // 2
+            nn = current.shape[1]
+            quads = jnp.stack(
+                [
+                    current[:, :, :half, :half],
+                    current[:, :, :half, half:],
+                    current[:, :, half:, :half],
+                    current[:, :, half:, half:],
+                ],
+                axis=2,
+            )
+            current = quads.reshape(sbs.shape[0], nn * 4, half, half)
+            cur = half
+        return current.reshape(-1, size, size)[..., None]
+
+    quad_tile_device = jax.jit(_quad_tile_fn, static_argnums=1)
 
     remap = V6_FINAL_TO_RAW
     level_modes = []
     per_level: Dict[str, np.ndarray] = {}
     for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
-        blocks = level_inputs[size][..., None]  # (N*nodes, s, s, 1)
+        blocks = quad_tile_device(device_sbs, size)  # stays on device
+        # Cap the batch at the level's real block count (rounded up to 256)
+        # so tail padding never dominates the transfer/compute.
+        level_batch = min(batch_size, -(-blocks.shape[0] // 256) * 256)
         out = run_pipeline_batched(
-            level_predictors[size], blocks, batch_size=batch_size
+            level_predictors[size], blocks, batch_size=level_batch
         )
         raw_modes = remap[out["final"]].reshape(n, nodes)
         level_modes.append(raw_modes)
