@@ -158,6 +158,7 @@ def train_stage(
         variables["batch_stats"] = init_batch_stats
 
     start_epoch = 0
+    resume_best = None
     if resume_from is not None:
         from av1tpu.train.checkpoint import load_variables_npz
 
@@ -168,7 +169,12 @@ def train_stage(
         variables["batch_stats"] = restored.get("batch_stats", {})
         meta_path = resume_from / "meta.json"
         if meta_path.exists():
-            start_epoch = json.loads(meta_path.read_text()).get("epoch", -1) + 1
+            meta = json.loads(meta_path.read_text())
+            start_epoch = meta.get("epoch", -1) + 1
+            # carry the best-so-far metric so a worse post-resume epoch
+            # cannot overwrite the best checkpoint
+            if meta.get("metric") == recipe.best_metric:
+                resume_best = meta.get("value")
         log(f"[{recipe.name}] resuming from {resume_from} at epoch {start_epoch}")
 
     arrays = _bundle_arrays(train_bundle, recipe.label_key)
@@ -188,7 +194,7 @@ def train_stage(
     eval_step = make_eval_step(model, cfg)
 
     history: List[Dict] = []
-    best_value = -np.inf
+    best_value = resume_best if resume_best is not None else -np.inf
     best_state = None
     state = None
     epoch_global = 0
