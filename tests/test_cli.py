@@ -231,3 +231,52 @@ def test_flatten_cli_chain(workspace, tmp_path):
         (runs / "pipeline" / "pipeline_metrics_val.json").read_text()
     )
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+
+
+def test_predict_trees_cli(tmp_path):
+    """predict_trees: whole-frame partition-tree prediction end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.cli import predict_trees
+    from av1tpu.models import (
+        Stage1Model, Stage2Model, Stage3ABModel, Stage3RectModel,
+    )
+    from av1tpu.train.checkpoint import save_variables_npz
+
+    # one shared model dir reused for all four levels
+    models_dir = tmp_path / "models"
+    specs = [
+        (Stage1Model, "stage1_best_variables.npz", 1),
+        (Stage2Model, "stage2_best_variables.npz", 2),
+        (Stage3RectModel, "stage3_rect_best_variables.npz", 3),
+        (Stage3ABModel, "stage3_ab_best_variables.npz", 4),
+    ]
+    for cls, fname, seed in specs:
+        m = cls()
+        v = m.init(jax.random.PRNGKey(seed), jnp.zeros((2, 16, 16, 1)))
+        save_variables_npz(
+            models_dir / fname,
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+        )
+
+    # tiny 128x64 clip = 2 superblocks/frame
+    rng = np.random.default_rng(0)
+    yuv = tmp_path / "clip_128x64_30.yuv"
+    with open(yuv, "wb") as f:
+        plane = rng.integers(0, 1024, (64, 128), dtype=np.uint16)
+        f.write(plane.astype("<u2").tobytes())
+        f.write(np.zeros((32, 64), dtype="<u2").tobytes() * 2)
+
+    out = tmp_path / "trees"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0",
+        "--models-64", str(models_dir), "--models-32", str(models_dir),
+        "--models-16", str(models_dir), "--models-8", str(models_dir),
+        "--output-dir", str(out), "--batch-size", "64", "--no-ab-fgvc",
+    ])
+    data = np.load(out / "trees_frame0.npz")
+    assert data["trees"].shape == (2, 85)
+    np.testing.assert_array_equal(data["grid_shape"], [1, 2])
+    stats = json.loads((out / "tree_stats.json").read_text())
+    assert stats["0"]["superblocks"] == 2
