@@ -46,7 +46,9 @@ CKPT_NAMES = {
 }
 
 
-def build_level_predictor(model_dir: Path, threshold: float, dtype, ab_fgvc: bool):
+def build_level_predictor(
+    model_dir: Path, threshold: float, dtype, ab_fgvc: bool, mesh=None
+):
     loaded = {}
     for key, (cls, fname) in CKPT_NAMES.items():
         variables = load_model_variables(model_dir / fname)
@@ -66,7 +68,9 @@ def build_level_predictor(model_dir: Path, threshold: float, dtype, ab_fgvc: boo
         loaded["stage3_rect"][0], loaded["stage3_rect"][1],
         ab_cls(dtype=dtype), ab_vars,
     )
-    return make_v6_pipeline(models, stage1_threshold=threshold, input_dtype=dtype)
+    return make_v6_pipeline(
+        models, stage1_threshold=threshold, input_dtype=dtype, mesh=mesh
+    )
 
 
 def main(argv=None) -> None:
@@ -82,6 +86,8 @@ def main(argv=None) -> None:
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--no-ab-fgvc", dest="ab_fgvc", action="store_false",
                         default=True)
+    parser.add_argument("--single-device", action="store_true",
+                        help="disable the default all-local-devices mesh")
     args = parser.parse_args(argv)
 
     if args.resolution:
@@ -94,10 +100,15 @@ def main(argv=None) -> None:
     geom = Yuv420p10Geometry(width=w, height=h)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    from av1tpu.parallel.mesh import default_mesh
+
+    mesh = None if args.single_device else default_mesh()
+    if mesh is not None:
+        print(f"sharding inference over mesh {dict(mesh.shape)}")
     predictors = {
         size: build_level_predictor(
             getattr(args, f"models_{size}"), args.stage1_threshold, dtype,
-            args.ab_fgvc,
+            args.ab_fgvc, mesh=mesh,
         )
         for size in (64, 32, 16, 8)
     }
@@ -108,7 +119,7 @@ def main(argv=None) -> None:
     for frame_index in args.frames:
         plane = read_y_frame(args.yuv, frame_index, geom)
         start = time.perf_counter()
-        result = predict_frame_trees(plane, predictors, args.batch_size)
+        result = predict_frame_trees(plane, predictors, args.batch_size, mesh=mesh)
         seconds = time.perf_counter() - start
         np.savez(
             out_dir / f"trees_frame{frame_index}.npz",

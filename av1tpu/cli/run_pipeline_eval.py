@@ -50,7 +50,7 @@ from av1tpu.models import (
 )
 
 
-def build_v6(args, dtype):
+def build_v6(args, dtype, mesh=None):
     def load(path, model_cls):
         variables = load_model_variables(path)
         variables.pop("centers", None)
@@ -80,10 +80,11 @@ def build_v6(args, dtype):
         return make_v6_pipeline_gated(
             models, capacity=args.capacity,
             stage1_threshold=args.stage1_threshold, input_dtype=dtype,
+            mesh=mesh,
         )
     return make_v6_pipeline(
         models, stage1_threshold=args.stage1_threshold, input_dtype=dtype,
-        tta=args.tta, ab_ensemble_vars=ab_ensemble,
+        tta=args.tta, ab_ensemble_vars=ab_ensemble, mesh=mesh,
     )
 
 
@@ -128,9 +129,16 @@ def main(argv=None) -> None:
                         help="merged multi-head model variables npz")
     parser.add_argument("--available-specialists", nargs="*",
                         default=["RECT", "AB", "1TO4"])
+    parser.add_argument("--single-device", action="store_true",
+                        help="disable the default all-local-devices mesh")
     args = parser.parse_args(argv)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    from av1tpu.parallel.mesh import default_mesh
+
+    mesh = None if args.single_device else default_mesh()
+    if mesh is not None:
+        print(f"sharding inference over mesh {dict(mesh.shape)}")
     train_b, val_b, _ = load_split(args.dataset_dir, args.block_size)
     bundle = val_b if args.split == "val" else train_b
 
@@ -142,7 +150,7 @@ def main(argv=None) -> None:
         for req in required:
             if getattr(args, req) is None:
                 parser.error(f"--{req.replace('_', '-')} required for v6")
-        predict = build_v6(args, dtype)
+        predict = build_v6(args, dtype, mesh=mesh)
         class_names = list(V6_EVAL_CLASS_NAMES)
         label_space = 8
     elif args.variant == "flatten":
@@ -152,6 +160,7 @@ def main(argv=None) -> None:
             Stage1Model(dtype=dtype), s1_vars,
             Stage2FlatModel(dtype=dtype), flat_vars,
             stage1_threshold=args.stage1_threshold,
+            mesh=mesh,
         )
         # flatten predictions are RAW partition ids (reference 008b remaps
         # flatten->raw, which IS consistent with the raw ground truth)
@@ -164,12 +173,13 @@ def main(argv=None) -> None:
             HierarchicalModel(), v5_vars,
             stage1_threshold=args.stage1_threshold,
             available_specialists=tuple(args.available_specialists),
+            mesh=mesh,
         )
         class_names = [PARTITION_ID_TO_NAME[i] for i in range(10)]
         label_space = 10
 
     start = time.perf_counter()
-    out = run_pipeline_batched(predict, bundle.samples, args.batch_size)
+    out = run_pipeline_batched(predict, bundle.samples, args.batch_size, mesh=mesh)
     seconds = time.perf_counter() - start
     throughput = len(bundle) / seconds
 

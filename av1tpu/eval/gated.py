@@ -35,17 +35,27 @@ def make_v6_pipeline_gated(
     stage1_threshold: float = 0.45,
     norm_scale: float = NORM_10BIT,
     input_dtype=jnp.float32,
+    mesh=None,
 ):
     """Build the capacity-gated fused pipeline.
 
     Returns ``predict(images_u16) -> dict`` with the same keys as the dense
     pipeline plus ``overflow`` (number of gate-passing samples beyond
-    capacity that fell back to SPLIT).
+    capacity that fell back to SPLIT). With ``mesh`` the batch shards over
+    the data axis; the top-K select/scatter become GSPMD collectives.
     """
     if not 0.0 < capacity <= 1.0:
         raise ValueError("capacity must be in (0, 1]")
+    if mesh is not None:
+        from av1tpu.eval.hierarchy import _replicate_tree
 
-    @jax.jit
+        models = PipelineModels(
+            models.stage1, _replicate_tree(models.stage1_vars, mesh),
+            models.stage2, _replicate_tree(models.stage2_vars, mesh),
+            models.stage3_rect, _replicate_tree(models.stage3_rect_vars, mesh),
+            models.stage3_ab, _replicate_tree(models.stage3_ab_vars, mesh),
+        )
+
     def predict(images) -> Dict[str, jnp.ndarray]:
         n = images.shape[0]
         k = max(1, int(-(-capacity * n // 1)))  # ceil, static
@@ -96,7 +106,9 @@ def make_v6_pipeline_gated(
             "overflow": overflow,
         }
 
-    return predict
+    from av1tpu.eval.hierarchy import _jit_with_mesh
+
+    return _jit_with_mesh(predict, mesh)
 
 
 __all__ = ["make_v6_pipeline_gated"]

@@ -19,6 +19,20 @@ shapes, so the dense graph is 4 fused forwards at full MXU utilization and
 zero host round trips, vs the reference's 4 gathers + 4 ragged launches.
 Routing decisions are bit-identical to the reference (each stage's argmax is
 independent of the gating, so masked selection commutes with sub-batching).
+
+Two further TPU levers on top of the dense graph:
+
+* **stacked backbones** (``stacked=True``): the four stage models share an
+  identical ``ImprovedBackbone`` pytree, so their backbone variables stack
+  along a leading axis and ONE ``vmap``-ed backbone forward runs all four
+  stages as a single 4x-batch grouped computation (XLA lowers the vmapped
+  convs to ``batch_group_count=4`` convolutions). The tiny per-stage MLP
+  heads then apply to their slice of the (4, N, 512) embeddings. Same math,
+  one graph instead of four — fewer kernels, better MXU occupancy.
+* **mesh sharding** (``mesh=``): inference jits with the batch dimension
+  sharded over the mesh's data axis and variables replicated, so one
+  ``predict`` call uses every chip (the v5e-8 story in BASELINE.json).
+  Outputs stay batch-sharded; callers see ordinary arrays.
 """
 from __future__ import annotations
 
@@ -47,6 +61,48 @@ class PipelineModels:
     stage3_ab_vars: Mapping
 
 
+def _backbone_subtree(variables: Mapping) -> Optional[Dict]:
+    """Extract {params, batch_stats} of the ``backbone`` submodule."""
+    try:
+        return {
+            "params": variables["params"]["backbone"],
+            "batch_stats": variables["batch_stats"]["backbone"],
+        }
+    except (KeyError, TypeError):
+        return None
+
+
+def _stackable(trees: List[Optional[Dict]]) -> bool:
+    """All trees present with identical structure and leaf shapes."""
+    if any(t is None for t in trees):
+        return False
+    ref = jax.tree_util.tree_structure(trees[0])
+    if any(jax.tree_util.tree_structure(t) != ref for t in trees[1:]):
+        return False
+    shapes = [
+        tuple(np.shape(l) for l in jax.tree_util.tree_leaves(t)) for t in trees
+    ]
+    return all(s == shapes[0] for s in shapes[1:])
+
+
+def _replicate_tree(tree, mesh):
+    from av1tpu.parallel.mesh import replicated
+
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree
+    )
+
+
+def _jit_with_mesh(fn, mesh):
+    """jit ``fn(images)`` with the batch dim sharded over the data axis."""
+    if mesh is None:
+        return jax.jit(fn)
+    from av1tpu.parallel.mesh import batch_sharding
+
+    return jax.jit(fn, in_shardings=(batch_sharding(mesh),))
+
+
 def make_v6_pipeline(
     models: PipelineModels,
     stage1_threshold: float = 0.45,
@@ -54,6 +110,8 @@ def make_v6_pipeline(
     input_dtype=jnp.float32,
     tta: bool = False,
     ab_ensemble_vars: Optional[List[Mapping]] = None,
+    stacked: bool = True,
+    mesh=None,
 ):
     """Build the fused v6 pipeline: ``predict(images_u16) -> dict``.
 
@@ -67,6 +125,12 @@ def make_v6_pipeline(
     one fused graph. ``ab_ensemble_vars`` replaces the single AB model with
     soft voting over the member variable trees (ensemble.py:51-56
     semantics), evaluated as one vmapped forward over stacked params.
+
+    ``stacked`` runs the four identical-structure stage backbones as ONE
+    vmapped forward over stacked variables (numerically identical to the
+    four separate forwards; disabled automatically for TTA/ensembles or
+    when backbone structures differ). ``mesh`` shards the batch dimension
+    over the mesh's data axis with replicated variables.
     """
     ab_stacked = None
     if ab_ensemble_vars:
@@ -74,6 +138,27 @@ def make_v6_pipeline(
             lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]),
             *ab_ensemble_vars,
         )
+        if mesh is not None:
+            ab_stacked = _replicate_tree(ab_stacked, mesh)
+
+    stage_vars = [
+        models.stage1_vars, models.stage2_vars,
+        models.stage3_rect_vars, models.stage3_ab_vars,
+    ]
+    backbone_trees = [_backbone_subtree(v) for v in stage_vars]
+    use_stacked = (
+        stacked and not tta and ab_stacked is None and _stackable(backbone_trees)
+    )
+    if use_stacked:
+        backbone_stack = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]),
+            *backbone_trees,
+        )
+        if mesh is not None:
+            backbone_stack = _replicate_tree(backbone_stack, mesh)
+    if mesh is not None:
+        stage_vars = [_replicate_tree(v, mesh) for v in stage_vars]
+    s1_vars, s2_vars, s3r_vars, s3a_vars = stage_vars
 
     def stage_logits(model, variables, x):
         if not tta:
@@ -84,19 +169,44 @@ def make_v6_pipeline(
         logits = jax.vmap(lambda v: model.apply(variables, v, train=False))(views)
         return jnp.mean(logits, axis=0)
 
-    @jax.jit
-    def predict(images) -> Dict[str, jnp.ndarray]:
+    def stage_raw_logits(x):
+        """(s1, s2, rect, ab) logits — stacked or per-model forwards."""
+        if use_stacked:
+            from av1tpu.models import ImprovedBackbone
+
+            backbone = ImprovedBackbone(dtype=models.stage1.dtype)
+            feats = jax.vmap(
+                lambda v, xb: backbone.apply(v, xb, train=False),
+                in_axes=(0, None),
+            )(backbone_stack, x)
+            s1 = models.stage1.apply(
+                s1_vars, feats[0], train=False, from_features=True
+            )
+            s2 = models.stage2.apply(
+                s2_vars, feats[1], train=False, from_features=True
+            )
+            rect = models.stage3_rect.apply(
+                s3r_vars, feats[2], train=False, from_features=True
+            )
+            ab = models.stage3_ab.apply(
+                s3a_vars, feats[3], train=False, from_features=True
+            )
+            return s1, s2, rect, ab
+        return (
+            stage_logits(models.stage1, s1_vars, x),
+            stage_logits(models.stage2, s2_vars, x),
+            stage_logits(models.stage3_rect, s3r_vars, x),
+            None,
+        )
+
+    def predict_impl(images) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         x = x.astype(input_dtype)
 
-        s1_logits = stage_logits(models.stage1, models.stage1_vars, x)
+        s1_logits, s2_logits, rect_logits, ab_logits = stage_raw_logits(x)
         s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
         s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
-
-        s2_logits = stage_logits(models.stage2, models.stage2_vars, x)
         s2_pred = jnp.argmax(s2_logits, axis=-1).astype(jnp.int32)
-
-        rect_logits = stage_logits(models.stage3_rect, models.stage3_rect_vars, x)
         rect_pred = jnp.argmax(rect_logits, axis=-1).astype(jnp.int32)
 
         if ab_stacked is not None:
@@ -106,7 +216,8 @@ def make_v6_pipeline(
             ab_probs = jnp.mean(jax.nn.softmax(member_logits, axis=-1), axis=0)
             ab_pred = jnp.argmax(ab_probs, axis=-1).astype(jnp.int32)
         else:
-            ab_logits = stage_logits(models.stage3_ab, models.stage3_ab_vars, x)
+            if ab_logits is None:
+                ab_logits = stage_logits(models.stage3_ab, s3a_vars, x)
             ab_pred = jnp.argmax(ab_logits, axis=-1).astype(jnp.int32)
 
         final = jnp.where(
@@ -127,7 +238,7 @@ def make_v6_pipeline(
             "stage3_ab_pred": ab_pred,
         }
 
-    return predict
+    return _jit_with_mesh(predict_impl, mesh)
 
 
 def make_v5_pipeline(
@@ -136,6 +247,7 @@ def make_v5_pipeline(
     stage1_threshold: float = 0.5,
     available_specialists: Tuple[str, ...] = ("RECT", "AB", "1TO4"),
     norm_scale: float = NORM_10BIT,
+    mesh=None,
 ):
     """Fused v5 pipeline over the shared multi-head model.
 
@@ -148,8 +260,9 @@ def make_v5_pipeline(
     has_rect = "RECT" in available_specialists
     has_ab = "AB" in available_specialists
     has_1to4 = "1TO4" in available_specialists
+    if mesh is not None:
+        variables = _replicate_tree(variables, mesh)
 
-    @jax.jit
     def predict(images, qp=None) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         out = model.apply(variables, x, qp, train=False)
@@ -193,7 +306,12 @@ def make_v5_pipeline(
             "stage3_1TO4_pred": one2four_arg,
         }
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict)
+    from av1tpu.parallel.mesh import batch_sharding
+
+    # qp (optional second arg) inherits an unspecified sharding.
+    return jax.jit(predict, in_shardings=(batch_sharding(mesh), None))
 
 
 def make_flatten_pipeline(
@@ -203,12 +321,15 @@ def make_flatten_pipeline(
     flat_vars: Mapping,
     stage1_threshold: float = 0.45,
     norm_scale: float = NORM_10BIT,
+    mesh=None,
 ):
     """Stage-1 gate + 7-way flatten classifier, remapped to raw ids
     (parity: 008b_run_pipeline_flatten_eval.py:148-174+)."""
     remap = jnp.asarray(flatten_to_raw(np.arange(7)))
+    if mesh is not None:
+        stage1_vars = _replicate_tree(stage1_vars, mesh)
+        flat_vars = _replicate_tree(flat_vars, mesh)
 
-    @jax.jit
     def predict(images) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         s1_prob = jax.nn.sigmoid(stage1_model.apply(stage1_vars, x, train=False))
@@ -224,28 +345,42 @@ def make_flatten_pipeline(
             "flatten_pred": flat_pred,
         }
 
-    return predict
+    return _jit_with_mesh(predict, mesh)
 
 
 def run_pipeline_batched(
     predict_fn: Callable,
     samples,
     batch_size: int = 4096,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Stream a whole dataset through a fused pipeline in fixed-shape
     batches (pads the tail; trims outputs). Accepts host numpy arrays or
     device (jax) arrays — device inputs are sliced/padded with jnp ops so
-    nothing round-trips through the host."""
+    nothing round-trips through the host. With ``mesh`` each batch is
+    placed batch-sharded over the data axis before dispatch (the predict_fn
+    should have been built with the same mesh)."""
     n = samples.shape[0]
     on_device = not isinstance(samples, np.ndarray)
     xp = jnp if on_device else np
+    sharding = None
+    if mesh is not None:
+        from av1tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+        num_data = mesh.shape[DATA_AXIS]
+        batch_size = -(-batch_size // num_data) * num_data
+        sharding = batch_sharding(mesh)
     outputs: Dict[str, List] = {}
     for start in range(0, n, batch_size):
         chunk = samples[start : start + batch_size]
         if chunk.shape[0] < batch_size:
             pad = xp.repeat(chunk[:1], batch_size - chunk.shape[0], axis=0)
             chunk = xp.concatenate([chunk, pad], axis=0)
-        result = predict_fn(chunk if on_device else jnp.asarray(chunk))
+        if not on_device:
+            chunk = jnp.asarray(chunk)
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
+        result = predict_fn(chunk)
         # Keep chunk outputs on device: converting per chunk would force a
         # blocking sync per call and serialize the dispatch pipeline.
         for key, value in result.items():

@@ -31,13 +31,15 @@ def predict_partition_trees(
     superblocks: np.ndarray,
     level_predictors: Mapping[int, Callable],
     batch_size: int = 4096,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Run the 4-level cascade over (N, 64, 64) uint16 superblocks.
 
     ``level_predictors`` maps block size (64/32/16/8) to a fused v6
     pipeline ``predict`` (from :func:`av1tpu.eval.hierarchy.make_v6_pipeline`)
     trained for that size. Returns the assembled ``(N, 85)`` trees plus the
-    per-level raw-mode arrays.
+    per-level raw-mode arrays. ``mesh`` shards every level's batch over the
+    data axis (build the level predictors with the same mesh).
     """
     missing = [s for s in LEVEL_SIZES if s not in level_predictors]
     if missing:
@@ -86,7 +88,7 @@ def predict_partition_trees(
         # so tail padding never dominates the transfer/compute.
         level_batch = min(batch_size, -(-blocks.shape[0] // 256) * 256)
         out = run_pipeline_batched(
-            level_predictors[size], blocks, batch_size=level_batch
+            level_predictors[size], blocks, batch_size=level_batch, mesh=mesh
         )
         raw_modes = remap[out["final"]].reshape(n, nodes)
         level_modes.append(raw_modes)
@@ -100,13 +102,14 @@ def predict_frame_trees(
     y_plane: np.ndarray,
     level_predictors: Mapping[int, Callable],
     batch_size: int = 4096,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Whole-frame entry: tile a (H, W) luma plane into superblocks and
     emit one partition tree per superblock (row-major order)."""
     from av1tpu.ingest.tiler import tile_frame
 
     sbs, grid = tile_frame(np.asarray(y_plane), 64)
-    result = predict_partition_trees(sbs, level_predictors, batch_size)
+    result = predict_partition_trees(sbs, level_predictors, batch_size, mesh=mesh)
     result["grid_shape"] = np.asarray([grid.num_rows, grid.num_cols])
     return result
 

@@ -54,8 +54,14 @@ class FGVCModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_features: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(
+        self, x, train: bool = False, return_features: bool = False,
+        from_features: bool = False,
+    ):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         for li in range(2):
             feats = nn.Dense(self.feat_dim, dtype=self.dtype, name=f"proj_dense{li}")(feats)
             feats = nn.BatchNorm(

@@ -85,8 +85,14 @@ class Stage1Model(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, apply_temp: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(
+        self, x, train: bool = False, apply_temp: bool = False,
+        from_features: bool = False,
+    ):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         logits = MLPHead(
             hidden=(256,), num_outputs=1, dropout=(0.3,), dtype=self.dtype,
             name="head",
@@ -106,8 +112,11 @@ class Stage2Model(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         return MLPHead(
             hidden=(256, 128), num_outputs=3, dropout=(0.4, 0.4),
             dtype=self.dtype, name="head",
@@ -120,8 +129,11 @@ class Stage3RectModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         return MLPHead(
             hidden=(128, 64), num_outputs=2, dropout=(0.2, 0.2),
             dtype=self.dtype, name="head",
@@ -134,8 +146,11 @@ class Stage3ABModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         return MLPHead(
             hidden=(256, 128), num_outputs=4, dropout=(0.5, 0.5),
             dtype=self.dtype, name="head",
@@ -198,8 +213,11 @@ class Stage2FlatModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
         return MLPHead(
             hidden=(256, 128), num_outputs=self.num_classes, dropout=(0.4, 0.4),
             dtype=self.dtype, name="head",

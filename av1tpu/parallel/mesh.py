@@ -55,6 +55,17 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def default_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Data-parallel mesh over all local devices, or ``None`` on a single
+    chip (where unsharded jit avoids needless GSPMD passes). The default
+    the inference CLIs use so a v5e-8 host saturates every chip without
+    flags."""
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    return make_mesh(num_data=len(devices), num_model=1, devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -145,6 +156,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "default_mesh",
     "distributed_init",
     "local_batch_slice",
     "make_mesh",

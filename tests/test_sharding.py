@@ -129,3 +129,107 @@ def test_full_train_step_on_mesh():
     batch = shard_batch({k: v[:32] for k, v in data.items()}, mesh)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused inference (round-2: mesh-parallel eval graphs)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def v6_models():
+    from av1tpu.eval import PipelineModels
+    from av1tpu.models import (
+        Stage1Model, Stage2Model, Stage3ABModel, Stage3RectModel,
+    )
+
+    dummy = jnp.zeros((2, 16, 16, 1), jnp.float32)
+
+    def build(cls, seed):
+        m = cls()
+        return m, m.init(jax.random.PRNGKey(seed), dummy)
+
+    s1, s1v = build(Stage1Model, 1)
+    s2, s2v = build(Stage2Model, 2)
+    s3r, s3rv = build(Stage3RectModel, 3)
+    s3a, s3av = build(Stage3ABModel, 4)
+    return PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+
+
+@pytest.fixture(scope="module")
+def v6_images():
+    return np.random.default_rng(0).integers(
+        0, 1024, size=(48, 16, 16, 1)
+    ).astype(np.uint16)
+
+
+def test_sharded_v6_pipeline_bit_identical(v6_models, v6_images):
+    """Mesh-sharded fused inference == single-device, bitwise on finals."""
+    from av1tpu.eval import make_v6_pipeline, run_pipeline_batched
+
+    mesh = make_mesh()
+    single = make_v6_pipeline(v6_models, stage1_threshold=0.45)
+    sharded = make_v6_pipeline(v6_models, stage1_threshold=0.45, mesh=mesh)
+
+    out_single = run_pipeline_batched(single, v6_images, batch_size=16)
+    out_sharded = run_pipeline_batched(
+        sharded, v6_images, batch_size=16, mesh=mesh
+    )
+    np.testing.assert_array_equal(out_single["final"], out_sharded["final"])
+    np.testing.assert_allclose(
+        out_single["stage1_prob"], out_sharded["stage1_prob"], rtol=1e-6
+    )
+
+
+def test_stacked_pipeline_matches_unstacked(v6_models, v6_images):
+    """The vmapped stacked-backbone forward is numerically the same graph."""
+    from av1tpu.eval import make_v6_pipeline
+
+    stacked = make_v6_pipeline(v6_models, stacked=True)
+    unstacked = make_v6_pipeline(v6_models, stacked=False)
+    x = jnp.asarray(v6_images[:16])
+    a, b = stacked(x), unstacked(x)
+    np.testing.assert_array_equal(np.asarray(a["final"]), np.asarray(b["final"]))
+    np.testing.assert_allclose(
+        np.asarray(a["stage1_prob"]), np.asarray(b["stage1_prob"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_sharded_gated_pipeline(v6_models, v6_images):
+    """Capacity-gated inference under the mesh matches its dense finals
+    whenever capacity covers the gate pass rate."""
+    from av1tpu.eval import make_v6_pipeline
+    from av1tpu.eval.gated import make_v6_pipeline_gated
+
+    mesh = make_mesh()
+    dense = make_v6_pipeline(v6_models, stage1_threshold=0.45)
+    gated = make_v6_pipeline_gated(
+        v6_models, capacity=1.0, stage1_threshold=0.45, mesh=mesh
+    )
+    x = jnp.asarray(v6_images[:16])
+    np.testing.assert_array_equal(
+        np.asarray(dense(x)["final"]), np.asarray(gated(x)["final"])
+    )
+
+
+def test_sharded_tree_inference():
+    """predict_partition_trees over the mesh == single device (stub models
+    keep compile time negligible; the mesh plumbing is what's under test)."""
+    from av1tpu.eval import PipelineModels, make_v6_pipeline
+    from av1tpu.eval.tree_infer import predict_partition_trees
+    from tests.test_eval import make_stub
+
+    mesh = make_mesh()
+    sbs = np.random.default_rng(1).integers(
+        0, 1024, size=(4, 64, 64)
+    ).astype(np.uint16)
+    models = PipelineModels(
+        *make_stub(1, 1), *make_stub(3, 2), *make_stub(2, 3), *make_stub(4, 4)
+    )
+    preds_single = {s: make_v6_pipeline(models) for s in (64, 32, 16, 8)}
+    preds_sharded = {
+        s: make_v6_pipeline(models, mesh=mesh) for s in (64, 32, 16, 8)
+    }
+    t1 = predict_partition_trees(sbs, preds_single, batch_size=32)
+    t2 = predict_partition_trees(sbs, preds_sharded, batch_size=32, mesh=mesh)
+    np.testing.assert_array_equal(t1["trees"], t2["trees"])
