@@ -134,6 +134,7 @@ def host_shard(
 __all__ = [
     "balanced_epoch_indices",
     "effective_number_weights",
+    "host_shard",
     "inverse_frequency_weights",
     "oversample_indices",
     "sample_weights_from_labels",

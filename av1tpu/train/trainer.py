@@ -27,7 +27,11 @@ from flax import struct
 from flax.core import FrozenDict
 
 from av1tpu.data.records import NORM_10BIT
-from av1tpu.data.sampling import balanced_epoch_indices, shuffled_epoch_indices
+from av1tpu.data.sampling import (
+    balanced_epoch_indices,
+    host_shard,
+    shuffled_epoch_indices,
+)
 from av1tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -237,13 +241,29 @@ def run_train_epoch(
     num_classes: int,
     balance_labels: Optional[np.ndarray] = None,
     mesh=None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Tuple[TrainState, EpochResult]:
-    """One epoch: host-side index sampling + device-side everything else."""
+    """One epoch: host-side index sampling + device-side everything else.
+
+    Multi-host contract: every process derives the identical global epoch
+    order from ``epoch_seed`` (all sampling is deterministic in it), then
+    trains on its contiguous ``host_shard`` slice — together the hosts
+    realize exactly the single-host class balance with no inter-host
+    communication. Defaults read ``jax.process_index()/count()``; tests
+    pass them explicitly to simulate multiple hosts in one process.
+    """
     n = len(next(iter(arrays.values())))
     if balance_labels is not None:
         indices = balanced_epoch_indices(balance_labels, epoch_seed)
     else:
         indices = shuffled_epoch_indices(n, epoch_seed)
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count > 1:
+        indices = host_shard(indices, process_index, process_count)
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     # Metric totals stay on device and accumulate lazily — pulling them to

@@ -209,3 +209,55 @@ def test_confusion_metrics_formulas():
     rec1 = 9 / 10
     f1_1 = 2 * prec1 * rec1 / (prec1 + rec1)
     assert abs(m["per_class_f1"][1] - f1_1) < 1e-9
+
+
+def test_multihost_epoch_shards_cover_global_order():
+    """Simulated 2-process epoch: each host consumes its contiguous shard of
+    the identical global order; the union equals the single-host epoch."""
+    from av1tpu.train.trainer import run_train_epoch
+    from av1tpu.data.sampling import balanced_epoch_indices, host_shard
+
+    model = TinyModel()
+    data = make_synthetic(n=64)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1), jnp.float32)
+    )
+    optimizer = adamw(1e-3)
+    cfg = StepConfig(
+        loss_fn=binary_focal_loss, label_key="stage1", binary=True, num_classes=2
+    )
+    base_step = make_train_step(model, optimizer, cfg)
+
+    consumed = {}
+
+    def make_recording_step(host):
+        consumed[host] = []
+
+        def step(state, batch, rng):
+            consumed[host].append(np.asarray(batch["stage1"]))
+            return base_step(state, batch, rng)
+
+        return step
+
+    seed, batch_size = 5, 8
+    for host in (0, 1):
+        state = TrainState.create(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1))), optimizer
+        )
+        run_train_epoch(
+            make_recording_step(host), state, data, batch_size,
+            jax.random.PRNGKey(1), epoch_seed=seed, num_classes=2,
+            balance_labels=data["stage1"],
+            process_index=host, process_count=2,
+        )
+
+    # both hosts derive the SAME global order; union of shards == its prefix
+    global_order = balanced_epoch_indices(data["stage1"], seed)
+    expected = data["stage1"][global_order[: 2 * (32 // batch_size) * batch_size]]
+    got = np.concatenate(
+        [np.concatenate(consumed[0]), np.concatenate(consumed[1])]
+    )
+    np.testing.assert_array_equal(got, expected)
+    # and host_shard itself partitions exactly
+    shards = [host_shard(global_order, p, 2) for p in range(2)]
+    np.testing.assert_array_equal(np.concatenate(shards), global_order[:64])
