@@ -30,6 +30,14 @@ def main(argv=None) -> None:
     parser.add_argument("--gamma", type=float, default=2.5)
     parser.add_argument("--pos-weight", type=float, default=1.0,
                         help="v5 only: BCE positive-class weight")
+    parser.add_argument("--use-hard-mining", action="store_true",
+                        help="v6 only: hard-negative-mining loss instead of "
+                        "focal (works, unlike the reference's broken "
+                        "--use-hard-mining, quirk Q2: 003:243)")
+    parser.add_argument("--hard-mining-ratio", type=float, default=3.0)
+    parser.add_argument("--use-qp", action="store_true",
+                        help="v5 only: condition on real per-block QP via "
+                        "QPEmbedding (reference kept this dormant, quirk Q6)")
     args = parser.parse_args(argv)
 
     train_b, val_b, meta = load_split(args.dataset_dir, args.block_size)
@@ -45,6 +53,8 @@ def main(argv=None) -> None:
             gamma=args.gamma,
             steps_per_epoch=steps_per_epoch,
             dtype=dtype,
+            use_hard_mining=args.use_hard_mining,
+            hard_mining_ratio=args.hard_mining_ratio,
         )
     else:
         recipe = v5_stage1_recipe(
@@ -54,6 +64,7 @@ def main(argv=None) -> None:
             pos_weight=args.pos_weight,
             gamma=args.gamma,
             steps_per_epoch=steps_per_epoch,
+            use_qp=args.use_qp,
         )
 
     from dataclasses import replace

@@ -75,11 +75,29 @@ from av1tpu.train.trainer import (
 
 @dataclass
 class Phase:
-    """One optimizer phase: epochs + an optimizer factory over params."""
+    """One optimizer phase: epochs + an optimizer factory.
+
+    ``make_optimizer`` is called as ``(params, steps_per_epoch)`` when it
+    accepts two arguments, else ``(params)`` — so schedule lengths can be
+    sized to the real data (the reference hardcodes nothing here because
+    torch schedulers count steps dynamically; cosine/OneCycle in optax
+    need the total up front).
+    """
 
     epochs: int
-    make_optimizer: Callable  # params -> optax transform
+    make_optimizer: Callable  # (params[, steps_per_epoch]) -> optax transform
     name: str = "phase"
+
+
+def _phase_optimizer(phase: Phase, params, steps_per_epoch: int):
+    import inspect
+
+    fn = phase.make_optimizer
+    try:
+        arity = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        arity = 1
+    return fn(params, steps_per_epoch) if arity >= 2 else fn(params)
 
 
 @dataclass
@@ -103,6 +121,13 @@ class StageRecipe:
     apply_kwargs: Mapping[str, Any] = field(default_factory=dict)
     extra_loss: Optional[Callable] = None  # reserved for composite losses
     logits_fn: Optional[Callable] = None   # structured outputs -> logits
+    # Explicit schedule length override; None derives it from the train
+    # bundle (len // batch_size) so library callers get correctly sized
+    # cosine/OneCycle schedules without passing anything.
+    steps_per_epoch: Optional[int] = None
+    # Feed per-sample QP (normalized) into the model's QPEmbedding path
+    # (v5 family; reference quirk Q6 kept this dormant).
+    use_qp: bool = False
 
 
 @dataclass
@@ -118,8 +143,13 @@ class TrainResult:
         path.write_text(json.dumps(self.history, indent=2))
 
 
-def _bundle_arrays(bundle: Bundle, label_key: str) -> Dict[str, np.ndarray]:
-    return {"samples": bundle.samples, label_key: bundle.labels[label_key]}
+def _bundle_arrays(
+    bundle: Bundle, label_key: str, use_qp: bool = False
+) -> Dict[str, np.ndarray]:
+    arrays = {"samples": bundle.samples, label_key: bundle.labels[label_key]}
+    if use_qp:
+        arrays["qp"] = bundle.qps
+    return arrays
 
 
 def train_stage(
@@ -132,15 +162,21 @@ def train_stage(
     init_batch_stats=None,
     checkpoint_dir: Optional[Path] = None,
     resume_from: Optional[Path] = None,
+    stop_after_epoch: Optional[int] = None,
     log: Callable[[str], None] = print,
 ) -> TrainResult:
     """Run all phases of a recipe; returns final and best states.
 
     ``resume_from`` continues from a checkpoint directory written by a
-    previous run (the reference has no resume at all — SURVEY.md §5):
-    model params/batch-stats restore from ``variables.npz`` and the epoch
-    counter fast-forwards past completed epochs; optimizer state restarts
-    at the resumed phase boundary.
+    previous run (the reference has no resume at all — SURVEY.md §5, and
+    documents an unresolved reload regression, quirk Q4). Resume is
+    **full-fidelity**: the entire ``TrainState`` (params, batch stats,
+    optimizer moments, step counter) restores from the Orbax checkpoint,
+    per-epoch RNG keys are ``fold_in(key, epoch)`` (position-independent),
+    and per-epoch data orders derive from ``seed + epoch`` — so a run
+    interrupted at epoch k and resumed from ``<name>_last`` is bitwise
+    identical to the uninterrupted run. Legacy ``variables.npz``-only
+    directories still resume (params/batch-stats, fresh optimizer).
     """
     model = recipe.model
     key = jax.random.PRNGKey(seed)
@@ -149,7 +185,10 @@ def train_stage(
     dummy = jnp.zeros((2, *recipe.input_shape), jnp.float32)
     from av1tpu.utils.initialization import init_on_cpu
 
-    variables = init_on_cpu(model, init_key, dummy, **dict(recipe.apply_kwargs))
+    init_kwargs = dict(recipe.apply_kwargs)
+    if recipe.use_qp:
+        init_kwargs["qp"] = jnp.zeros((2,), jnp.float32)
+    variables = init_on_cpu(model, init_key, dummy, **init_kwargs)
     if init_params is not None:
         variables = dict(variables)
         variables["params"] = init_params
@@ -157,28 +196,46 @@ def train_stage(
         variables = dict(variables)
         variables["batch_stats"] = init_batch_stats
 
+    steps_per_epoch = recipe.steps_per_epoch or max(
+        1, len(train_bundle) // recipe.batch_size
+    )
+
     start_epoch = 0
     resume_best = None
+    resume_no_improve = 0
+    resume_state = None
+    resume_phase_idx = -1
     if resume_from is not None:
-        from av1tpu.train.checkpoint import load_variables_npz
-
         resume_from = Path(resume_from)
-        restored = load_variables_npz(resume_from / "variables.npz")
-        variables = dict(variables)
-        variables["params"] = restored["params"]
-        variables["batch_stats"] = restored.get("batch_stats", {})
         meta_path = resume_from / "meta.json"
-        if meta_path.exists():
-            meta = json.loads(meta_path.read_text())
-            start_epoch = meta.get("epoch", -1) + 1
-            # carry the best-so-far metric so a worse post-resume epoch
-            # cannot overwrite the best checkpoint
-            if meta.get("metric") == recipe.best_metric:
-                resume_best = meta.get("value")
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        start_epoch = meta.get("epoch", -1) + 1
+        # carry the best-so-far metric so a worse post-resume epoch
+        # cannot overwrite the best checkpoint
+        if "best_value" in meta:
+            resume_best = meta["best_value"]
+        elif meta.get("metric") == recipe.best_metric:
+            resume_best = meta.get("value")
+        resume_no_improve = int(meta.get("no_improve", 0))
+        saved_phase = meta.get("phase_index")
+        if saved_phase is not None:
+            template_opt = _phase_optimizer(
+                recipe.phases[saved_phase], variables["params"], steps_per_epoch
+            )
+            template = TrainState.create(variables, template_opt)
+            resume_state, _ = restore_checkpoint(resume_from, template)
+            resume_phase_idx = int(saved_phase)
+        else:  # legacy variables-only checkpoint
+            from av1tpu.train.checkpoint import load_variables_npz
+
+            restored = load_variables_npz(resume_from / "variables.npz")
+            variables = dict(variables)
+            variables["params"] = restored["params"]
+            variables["batch_stats"] = restored.get("batch_stats", {})
         log(f"[{recipe.name}] resuming from {resume_from} at epoch {start_epoch}")
 
-    arrays = _bundle_arrays(train_bundle, recipe.label_key)
-    val_arrays = _bundle_arrays(val_bundle, recipe.label_key)
+    arrays = _bundle_arrays(train_bundle, recipe.label_key, recipe.use_qp)
+    val_arrays = _bundle_arrays(val_bundle, recipe.label_key, recipe.use_qp)
     balance_labels = arrays[recipe.label_key] if recipe.balance else None
 
     cfg = StepConfig(
@@ -190,6 +247,7 @@ def train_stage(
         num_classes=recipe.num_classes,
         apply_kwargs=dict(recipe.apply_kwargs),
         logits_fn=recipe.logits_fn,
+        use_qp=recipe.use_qp,
     )
     eval_step = make_eval_step(model, cfg)
 
@@ -198,12 +256,37 @@ def train_stage(
     best_state = None
     state = None
     epoch_global = 0
-    no_improve = 0
+    no_improve = resume_no_improve
 
-    for phase in recipe.phases:
-        params_for_opt = state.params if state is not None else variables["params"]
-        optimizer = phase.make_optimizer(params_for_opt)
-        if state is None:
+    for phase_idx, phase in enumerate(recipe.phases):
+        phase_start = epoch_global
+        phase_end = phase_start + phase.epochs
+        if start_epoch >= phase_end:
+            # phase fully completed before the resume point
+            epoch_global = phase_end
+            continue
+        current = resume_state if resume_state is not None else state
+        params_for_opt = (
+            current.params if current is not None else variables["params"]
+        )
+        optimizer = _phase_optimizer(phase, params_for_opt, steps_per_epoch)
+        if (
+            resume_state is not None
+            and phase_idx == resume_phase_idx
+            and start_epoch > phase_start
+        ):
+            # resuming mid-phase: the checkpointed optimizer state continues
+            state = resume_state
+        elif resume_state is not None and state is None:
+            # resumed exactly at a phase boundary: restored params/stats,
+            # fresh optimizer (what the uninterrupted run does here)
+            state = TrainState(
+                step=resume_state.step,
+                params=resume_state.params,
+                batch_stats=resume_state.batch_stats,
+                opt_state=optimizer.init(resume_state.params),
+            )
+        elif state is None:
             state = TrainState.create(variables, optimizer)
         else:
             # new phase: fresh optimizer state over current params
@@ -213,6 +296,7 @@ def train_stage(
                 batch_stats=state.batch_stats,
                 opt_state=optimizer.init(state.params),
             )
+        resume_state = None
         train_step = make_train_step(model, optimizer, cfg)
         log(f"[{recipe.name}] phase '{phase.name}': {phase.epochs} epochs")
 
@@ -220,7 +304,9 @@ def train_stage(
             if epoch_global < start_epoch:
                 epoch_global += 1
                 continue
-            train_key, epoch_key = jax.random.split(train_key)
+            # position-independent per-epoch key: identical whether or not
+            # earlier epochs executed in this process (resume invariance)
+            epoch_key = jax.random.fold_in(train_key, epoch_global)
             state, tr = run_train_epoch(
                 train_step, state, arrays, recipe.batch_size, epoch_key,
                 epoch_seed=seed + epoch_global, num_classes=recipe.num_classes,
@@ -265,7 +351,27 @@ def train_stage(
                     _save_resume_variables(ckpt_dir, state)
             else:
                 no_improve += 1
+            if checkpoint_dir is not None:
+                # rolling full-TrainState checkpoint: the resume anchor
+                last_dir = save_checkpoint(
+                    Path(checkpoint_dir) / f"{recipe.name}_last",
+                    state,
+                    meta={
+                        "epoch": epoch_global,
+                        "phase_index": phase_idx,
+                        "metric": recipe.best_metric,
+                        "best_value": float(best_value),
+                        "no_improve": int(no_improve),
+                    },
+                    verify=True,
+                )
+                _save_resume_variables(last_dir, state)
             epoch_global += 1
+            if stop_after_epoch is not None and epoch_global > stop_after_epoch:
+                # simulated interruption (resume tests / budget caps):
+                # everything needed to continue sits in <name>_last
+                log(f"[{recipe.name}] stopping after epoch {stop_after_epoch}")
+                break
             if (
                 recipe.early_stop_patience is not None
                 and no_improve >= recipe.early_stop_patience
@@ -305,24 +411,40 @@ def _save_resume_variables(ckpt_dir: Path, state: TrainState) -> None:
 def stage1_recipe(
     epochs: int = 30, lr: float = 1e-3, batch_size: int = 256,
     alpha: float = 0.25, gamma: float = 2.5, weight_decay: float = 1e-2,
-    steps_per_epoch: int = 500, dtype=jnp.float32,
+    steps_per_epoch: Optional[int] = None, dtype=jnp.float32,
+    use_hard_mining: bool = False, hard_mining_ratio: float = 3.0,
 ) -> StageRecipe:
     """v6 stage-1: focal loss, balanced sampler, AdamW + cosine, best-F1
-    (parity: 003_train_stage1_improved.py:211-302)."""
-    total = epochs * steps_per_epoch
+    (parity: 003_train_stage1_improved.py:211-302). ``steps_per_epoch=None``
+    sizes the cosine schedule from the train bundle at train_stage time.
+
+    ``use_hard_mining`` swaps the focal loss for hard-negative mining at
+    ``hard_mining_ratio`` negatives per positive — the reference's
+    ``--use-hard-mining`` flag is broken (quirk Q2: constructor misuse at
+    003:243 raises TypeError); here it works.
+    """
+    if use_hard_mining:
+        from av1tpu.train.losses import hard_negative_mining_loss
+
+        loss = lambda lo, ta: hard_negative_mining_loss(
+            lo, ta, neg_pos_ratio=hard_mining_ratio
+        )
+    else:
+        loss = lambda lo, ta: binary_focal_loss(lo, ta, alpha, gamma)
     return StageRecipe(
         name="stage1",
         model=Stage1Model(dtype=dtype),
         label_key="stage1",
         num_classes=2,
         binary=True,
-        loss_fn=lambda lo, ta: binary_focal_loss(lo, ta, alpha, gamma),
+        loss_fn=loss,
         augment=stage1_augment,
         balance=True,
-        phases=[Phase(epochs, lambda p: adamw(
-            cosine_schedule(lr, total), weight_decay), "cosine")],
+        phases=[Phase(epochs, lambda p, spe: adamw(
+            cosine_schedule(lr, epochs * spe), weight_decay), "cosine")],
         batch_size=batch_size,
         best_metric="macro_f1",
+        steps_per_epoch=steps_per_epoch,
     )
 
 
@@ -335,7 +457,7 @@ def stage2_recipe(
     batch_size: int = 256,
     beta: float = 0.9999,
     gamma: float = 2.0,
-    steps_per_epoch: int = 500,
+    steps_per_epoch: Optional[int] = None,
     scratch: bool = False,
     use_adapters: bool = False,
     dtype=jnp.float32,
@@ -349,14 +471,14 @@ def stage2_recipe(
     loss = lambda lo, ta: class_balanced_focal_loss(
         lo, ta, list(samples_per_class), beta, gamma
     )
+    all_epochs = freeze_epochs + unfreeze_epochs
     if use_adapters:
         model = Stage2ModelWithAdapters(dtype=dtype)
-        total = (freeze_epochs + unfreeze_epochs) * steps_per_epoch
         phases = [
             Phase(
-                freeze_epochs + unfreeze_epochs,
-                lambda p: ulmfit_phase1(
-                    p, head_lr, total, backbone_prefix="backbone_"
+                all_epochs,
+                lambda p, spe: ulmfit_phase1(
+                    p, head_lr, all_epochs * spe, backbone_prefix="backbone_"
                 ),
                 "adapters",
             )
@@ -364,22 +486,25 @@ def stage2_recipe(
     else:
         model = Stage2Model(dtype=dtype)
         if scratch:
-            total = (freeze_epochs + unfreeze_epochs) * steps_per_epoch
             phases = [
                 Phase(
-                    freeze_epochs + unfreeze_epochs,
-                    lambda p: adamw(cosine_schedule(head_lr, total)),
+                    all_epochs,
+                    lambda p, spe: adamw(cosine_schedule(head_lr, all_epochs * spe)),
                     "scratch",
                 )
             ]
         else:
-            t1 = freeze_epochs * steps_per_epoch
-            t2 = unfreeze_epochs * steps_per_epoch
             phases = [
-                Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1), "frozen"),
+                Phase(
+                    freeze_epochs,
+                    lambda p, spe: ulmfit_phase1(p, head_lr, freeze_epochs * spe),
+                    "frozen",
+                ),
                 Phase(
                     unfreeze_epochs,
-                    lambda p: ulmfit_phase2(p, head_lr, backbone_lr, t2),
+                    lambda p, spe: ulmfit_phase2(
+                        p, head_lr, backbone_lr, unfreeze_epochs * spe
+                    ),
                     "unfrozen",
                 ),
             ]
@@ -394,6 +519,7 @@ def stage2_recipe(
         phases=phases,
         batch_size=batch_size,
         best_metric="macro_f1",
+        steps_per_epoch=steps_per_epoch,
     )
 
 
@@ -404,7 +530,7 @@ def stage3_rect_recipe(
     head_lr: float = 1e-3,
     batch_size: int = 256,
     label_smoothing: float = 0.1,
-    steps_per_epoch: int = 300,
+    steps_per_epoch: Optional[int] = None,
     early_stop_patience: int = 5,
     dtype=jnp.float32,
 ) -> StageRecipe:
@@ -413,8 +539,6 @@ def stage3_rect_recipe(
     (parity: 005_train_stage3_rect.py:484-575)."""
     cw = np.asarray(class_weights, dtype=np.float32)
     loss = lambda lo, ta: weighted_ce_label_smoothing(lo, ta, cw, label_smoothing)
-    t1 = freeze_epochs * steps_per_epoch
-    t2 = unfreeze_epochs * steps_per_epoch
     return StageRecipe(
         name="stage3_rect",
         model=Stage3RectModel(dtype=dtype),
@@ -423,11 +547,18 @@ def stage3_rect_recipe(
         loss_fn=loss,
         augment=stage3_rect_augment,
         phases=[
-            Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1, grad_clip=1.0), "frozen"),
+            Phase(
+                freeze_epochs,
+                lambda p, spe: ulmfit_phase1(
+                    p, head_lr, freeze_epochs * spe, grad_clip=1.0
+                ),
+                "frozen",
+            ),
             Phase(
                 unfreeze_epochs,
-                lambda p: ulmfit_phase2(
-                    p, head_lr, head_lr * 0.01, t2, grad_clip=1.0
+                lambda p, spe: ulmfit_phase2(
+                    p, head_lr, head_lr * 0.01, unfreeze_epochs * spe,
+                    grad_clip=1.0,
                 ),
                 "unfrozen",
             ),
@@ -435,6 +566,7 @@ def stage3_rect_recipe(
         batch_size=batch_size,
         best_metric="macro_f1",
         early_stop_patience=early_stop_patience,
+        steps_per_epoch=steps_per_epoch,
     )
 
 
@@ -444,7 +576,7 @@ def stage3_ab_fgvc_recipe(
     head_lr: float = 1e-3,
     backbone_lr: float = 1e-6,
     batch_size: int = 128,
-    steps_per_epoch: int = 300,
+    steps_per_epoch: Optional[int] = None,
     dtype=jnp.float32,
 ) -> StageRecipe:
     """v6 stage-3 AB FGVC: focal base loss + label-aware augmentation,
@@ -453,8 +585,6 @@ def stage3_ab_fgvc_recipe(
     composite is wired by the FGVC trainer in cli/train_stage3_ab (it needs
     feature outputs); this recipe covers the schedule/augment surface."""
     loss = lambda lo, ta: multiclass_focal_loss(lo, ta, 2.0)
-    t1 = freeze_epochs * steps_per_epoch
-    t2 = unfreeze_epochs * steps_per_epoch
     return StageRecipe(
         name="stage3_ab",
         model=FGVCModel(dtype=dtype),
@@ -464,15 +594,22 @@ def stage3_ab_fgvc_recipe(
         augment_labeled=stage3_ab_augment,
         balance=True,
         phases=[
-            Phase(freeze_epochs, lambda p: ulmfit_phase1(p, head_lr, t1), "frozen"),
+            Phase(
+                freeze_epochs,
+                lambda p, spe: ulmfit_phase1(p, head_lr, freeze_epochs * spe),
+                "frozen",
+            ),
             Phase(
                 unfreeze_epochs,
-                lambda p: ulmfit_phase2(p, head_lr, backbone_lr, t2),
+                lambda p, spe: ulmfit_phase2(
+                    p, head_lr, backbone_lr, unfreeze_epochs * spe
+                ),
                 "unfrozen",
             ),
         ],
         batch_size=batch_size,
         best_metric="macro_f1",
+        steps_per_epoch=steps_per_epoch,
     )
 
 
@@ -495,7 +632,7 @@ def flatten_recipe(
     batch_size: int = 256,
     beta: float = 0.9999,
     gamma: float = 2.5,
-    steps_per_epoch: int = 500,
+    steps_per_epoch: Optional[int] = None,
     early_stop_patience: int = 8,
     dtype=jnp.float32,
 ) -> StageRecipe:
@@ -504,8 +641,6 @@ def flatten_recipe(
     loss = lambda lo, ta: class_balanced_focal_loss(
         lo, ta, list(samples_per_class), beta, gamma
     )
-    t1 = freeze_epochs * steps_per_epoch
-    t2 = unfreeze_epochs * steps_per_epoch
     return StageRecipe(
         name="stage2_flat",
         model=Stage2FlatModel(dtype=dtype),
@@ -517,18 +652,21 @@ def flatten_recipe(
         phases=[
             Phase(
                 freeze_epochs,
-                lambda p: ulmfit_phase1(p, max_lr, t1),
+                lambda p, spe: ulmfit_phase1(p, max_lr, freeze_epochs * spe),
                 "frozen",
             ),
             Phase(
                 unfreeze_epochs,
-                lambda p: ulmfit_phase2(p, max_lr, max_lr * 0.01, t2),
+                lambda p, spe: ulmfit_phase2(
+                    p, max_lr, max_lr * 0.01, unfreeze_epochs * spe
+                ),
                 "unfrozen",
             ),
         ],
         batch_size=batch_size,
         best_metric="macro_f1",
         early_stop_patience=early_stop_patience,
+        steps_per_epoch=steps_per_epoch,
     )
 
 
@@ -538,24 +676,32 @@ def flatten_recipe(
 
 def v5_stage1_recipe(
     epochs: int = 20, lr: float = 1e-3, batch_size: int = 256,
-    pos_weight: float = 1.0, gamma: float = 0.0, steps_per_epoch: int = 500,
+    pos_weight: float = 1.0, gamma: float = 0.0,
+    steps_per_epoch: Optional[int] = None, use_qp: bool = False,
 ) -> StageRecipe:
     """v5 stage-1 (parity: 009_train_stage1.py): BCE + pos_weight + focal
-    factor, 1:1 weighted sampling, trains the shared model's stage-1 path."""
+    factor, 1:1 weighted sampling, trains the shared model's stage-1 path.
+
+    ``use_qp=True`` activates the QPEmbedding conditioning (009:97 — dormant
+    in the reference per quirk Q6; real QPs flow from the new ETL)."""
     loss = lambda out, ta: stage1_focal_bce_v5(out.stage1, ta, pos_weight, gamma)
-    total = epochs * steps_per_epoch
     return StageRecipe(
         name="v5_stage1",
-        model=HierarchicalModel(),
+        model=HierarchicalModel(use_qp=use_qp),
         label_key="stage1",
         num_classes=2,
         binary=True,
         loss_fn=loss,
         balance=True,
-        phases=[Phase(epochs, lambda p: adamw(cosine_schedule(lr, total)), "main")],
+        phases=[Phase(
+            epochs, lambda p, spe: adamw(cosine_schedule(lr, epochs * spe)),
+            "main",
+        )],
         batch_size=batch_size,
         best_metric="macro_f1",
         logits_fn=lambda out: out.stage1,
+        steps_per_epoch=steps_per_epoch,
+        use_qp=use_qp,
     )
 
 
@@ -566,7 +712,8 @@ def v5_stage2_recipe(
     batch_size: int = 256,
     label_smoothing: float = 0.05,
     freeze_backbone: bool = False,
-    steps_per_epoch: int = 500,
+    steps_per_epoch: Optional[int] = None,
+    use_qp: bool = False,
 ) -> StageRecipe:
     """v5 stage-2 (parity: 010_train_stage2.py): weighted CE + smoothing
     over the shared model's 5-way head; optional backbone freeze."""
@@ -574,14 +721,18 @@ def v5_stage2_recipe(
     loss = lambda out, ta: weighted_ce_label_smoothing(
         out.stage2, ta, cw, label_smoothing
     )
-    total = epochs * steps_per_epoch
     if freeze_backbone:
-        phases = [Phase(epochs, lambda p: ulmfit_phase1(p, lr, total), "frozen")]
+        phases = [Phase(
+            epochs, lambda p, spe: ulmfit_phase1(p, lr, epochs * spe), "frozen",
+        )]
     else:
-        phases = [Phase(epochs, lambda p: adamw(cosine_schedule(lr, total)), "main")]
+        phases = [Phase(
+            epochs, lambda p, spe: adamw(cosine_schedule(lr, epochs * spe)),
+            "main",
+        )]
     return StageRecipe(
         name="v5_stage2",
-        model=HierarchicalModel(),
+        model=HierarchicalModel(use_qp=use_qp),
         label_key="stage2",
         num_classes=5,
         loss_fn=loss,
@@ -589,6 +740,8 @@ def v5_stage2_recipe(
         batch_size=batch_size,
         best_metric="macro_f1",
         logits_fn=lambda out: out.stage2,
+        steps_per_epoch=steps_per_epoch,
+        use_qp=use_qp,
     )
 
 
@@ -598,7 +751,8 @@ def v5_stage3_recipe(
     epochs: int = 20,
     lr: float = 5e-4,
     batch_size: int = 256,
-    steps_per_epoch: int = 300,
+    steps_per_epoch: Optional[int] = None,
+    use_qp: bool = False,
 ) -> StageRecipe:
     """v5 stage-3 specialist (parity: 012_train_stage3.py): freeze backbone
     + other heads, squared-inverse-freq class weights, label-aware flips for
@@ -608,9 +762,8 @@ def v5_stage3_recipe(
     loss = lambda out, ta: weighted_ce_label_smoothing(
         out.specialists[head], ta, cw, 0.0
     )
-    total = epochs * steps_per_epoch
 
-    def make_opt(params):
+    def make_opt(params, spe):
         # freeze everything except the target specialist head
         from av1tpu.train.schedules import partitioned_optimizer
         import optax
@@ -619,7 +772,7 @@ def v5_stage3_recipe(
             params,
             {
                 "frozen": optax.set_to_zero(),
-                "head": adamw(cosine_schedule(lr, total)),
+                "head": adamw(cosine_schedule(lr, epochs * spe)),
             },
             {
                 "backbone": "frozen",
@@ -653,7 +806,7 @@ def v5_stage3_recipe(
 
     return StageRecipe(
         name=f"v5_stage3_{head}",
-        model=HierarchicalModel(),
+        model=HierarchicalModel(use_qp=use_qp),
         label_key=f"stage3_{head}",
         num_classes=num_classes,
         loss_fn=loss,
@@ -662,6 +815,8 @@ def v5_stage3_recipe(
         batch_size=batch_size,
         best_metric="macro_f1",
         logits_fn=lambda out, _head=head: out.specialists[_head],
+        steps_per_epoch=steps_per_epoch,
+        use_qp=use_qp,
     )
 
 

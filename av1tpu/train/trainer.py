@@ -71,6 +71,10 @@ class StepConfig:
     binary: bool = False
     num_classes: int = 2
     apply_kwargs: Mapping[str, Any] = field(default_factory=dict)
+    # Feed batch["qp"] (normalized to [0,1]) as the model's second
+    # positional arg — the v5 QPEmbedding conditioning path (dormant in the
+    # reference, quirk Q6; first-class here since the ETL delivers real QPs).
+    use_qp: bool = False
     # Optional extractor for structured model outputs (e.g. the v5
     # multi-head HierarchicalOutputs): (outputs) -> logits array used for
     # predictions. Defaults to the outputs themselves.
@@ -107,9 +111,12 @@ def make_train_step(model, optimizer, cfg: StepConfig):
             keys = jax.random.split(aug_key, images.shape[0])
             images = jax.vmap(cfg.augment)(keys, images)
 
+        apply_args = (images,)
+        if cfg.use_qp:
+            apply_args = (images, batch["qp"].astype(jnp.float32) / 255.0)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            images,
+            *apply_args,
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_key},
@@ -145,9 +152,12 @@ def make_eval_step(model, cfg: StepConfig):
     def eval_step(state: TrainState, batch):
         images = batch["samples"].astype(jnp.float32) / cfg.norm_scale
         labels = batch[cfg.label_key]
+        apply_args = (images,)
+        if cfg.use_qp:
+            apply_args = (images, batch["qp"].astype(jnp.float32) / 255.0)
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            images,
+            *apply_args,
             train=False,
             **cfg.apply_kwargs,
         )

@@ -218,3 +218,127 @@ def test_confusion_based_noise_distribution():
     n_clean = int(len(clean) * 0.5)
     injected = noisy.labels["stage3_RECT"][n_clean:]
     np.testing.assert_array_equal(injected, 0)
+
+
+def test_resume_is_bitwise_identical(tmp_path):
+    """Full-fidelity resume: interrupt at epoch 1 of 4 (mid unfrozen phase),
+    resume from <name>_last, final params/opt-state bitwise == uninterrupted
+    (reference quirk Q4 is a nondeterministic reload regression; this
+    guards the opposite guarantee)."""
+    from av1tpu.train.stages import Phase, StageRecipe
+    from av1tpu.train.losses import binary_focal_loss
+    from av1tpu.train.schedules import cosine_schedule, ulmfit_phase1
+    from tests.test_train import TinyModel
+
+    labels = np.tile([0, 3], 32)
+    train_b = make_bundle(labels, size=8)
+    val_b = make_bundle(labels, seed=1, size=8)
+
+    def make_recipe():
+        return StageRecipe(
+            name="tiny",
+            model=TinyModel(),
+            label_key="stage1",
+            num_classes=2,
+            binary=True,
+            loss_fn=binary_focal_loss,
+            balance=True,
+            phases=[
+                Phase(1, lambda p, spe: ulmfit_phase1(p, 1e-2, spe), "frozen"),
+                Phase(3, lambda p, spe: adamw(
+                    cosine_schedule(1e-2, 3 * spe)), "unfrozen"),
+            ],
+            batch_size=16,
+            input_shape=(8, 8, 1),
+        )
+
+    full = train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "full", log=lambda s: None,
+    )
+
+    train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "split", stop_after_epoch=1,
+        log=lambda s: None,
+    )
+    resumed = train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "split",
+        resume_from=tmp_path / "split" / "tiny_last",
+        log=lambda s: None,
+    )
+
+    assert [h["epoch"] for h in resumed.history] == [2, 3]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state.params),
+        jax.tree_util.tree_leaves(resumed.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state.opt_state),
+        jax.tree_util.tree_leaves(resumed.state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state.batch_stats),
+        jax.tree_util.tree_leaves(resumed.state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the recorded val metrics for the shared epochs match
+    full_by_epoch = {h["epoch"]: h["val_loss"] for h in full.history}
+    for h in resumed.history:
+        assert h["val_loss"] == full_by_epoch[h["epoch"]]
+
+
+def test_resume_at_phase_boundary_is_bitwise_identical(tmp_path):
+    """Interrupting exactly at the freeze/unfreeze boundary also resumes
+    bitwise (fresh optimizer init at the boundary matches uninterrupted)."""
+    from av1tpu.train.stages import Phase, StageRecipe
+    from av1tpu.train.losses import binary_focal_loss
+    from av1tpu.train.schedules import cosine_schedule, ulmfit_phase1
+    from tests.test_train import TinyModel
+
+    labels = np.tile([0, 3], 32)
+    train_b = make_bundle(labels, size=8)
+    val_b = make_bundle(labels, seed=1, size=8)
+
+    def make_recipe():
+        return StageRecipe(
+            name="tiny",
+            model=TinyModel(),
+            label_key="stage1",
+            num_classes=2,
+            binary=True,
+            loss_fn=binary_focal_loss,
+            balance=True,
+            phases=[
+                Phase(2, lambda p, spe: ulmfit_phase1(p, 1e-2, 2 * spe), "frozen"),
+                Phase(2, lambda p, spe: adamw(
+                    cosine_schedule(1e-2, 2 * spe)), "unfrozen"),
+            ],
+            batch_size=16,
+            input_shape=(8, 8, 1),
+        )
+
+    full = train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "full", log=lambda s: None,
+    )
+    train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "split", stop_after_epoch=1,
+        log=lambda s: None,
+    )
+    resumed = train_stage(
+        make_recipe(), train_b, val_b, seed=0,
+        checkpoint_dir=tmp_path / "split",
+        resume_from=tmp_path / "split" / "tiny_last",
+        log=lambda s: None,
+    )
+    assert [h["epoch"] for h in resumed.history] == [2, 3]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state.params),
+        jax.tree_util.tree_leaves(resumed.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
