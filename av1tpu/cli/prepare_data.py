@@ -31,7 +31,14 @@ def main(argv=None) -> None:
     parser.add_argument("--yuv", type=Path, required=True,
                         help="YUV 4:2:0 10-bit file (name should contain WxH)")
     parser.add_argument("--dumps", type=Path, required=True,
-                        help="directory of partition_frame_N.txt encoder dumps")
+                        help="directory of partition_frame_N.txt encoder dumps"
+                        " (or of <video>-intra-<N>.xlsx workbooks with "
+                        "--dump-format xlsx)")
+    parser.add_argument("--dump-format", choices=("txt", "xlsx"),
+                        default="txt",
+                        help="xlsx ingests the reference's per-frame Excel "
+                        "label archives (004:145-172) when raw dumps were "
+                        "discarded")
     parser.add_argument("--out", type=Path, required=True)
     parser.add_argument("--sequence-name", type=str, default=None)
     parser.add_argument("--resolution", type=str, default=None,
@@ -57,7 +64,7 @@ def main(argv=None) -> None:
     extracts, report = extract_sequence(
         args.yuv, args.dumps, block_sizes=tuple(args.block_sizes),
         resolution=resolution, qp_mode=args.qp_mode,
-        max_frames=args.max_frames,
+        max_frames=args.max_frames, dump_format=args.dump_format,
     )
     seq_name = args.sequence_name or args.yuv.stem
 

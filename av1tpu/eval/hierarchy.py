@@ -110,7 +110,7 @@ def make_v6_pipeline(
     input_dtype=jnp.float32,
     tta: bool = False,
     ab_ensemble_vars: Optional[List[Mapping]] = None,
-    stacked: bool = True,
+    stacked: bool = False,
     mesh=None,
 ):
     """Build the fused v6 pipeline: ``predict(images_u16) -> dict``.
@@ -129,8 +129,14 @@ def make_v6_pipeline(
     ``stacked`` runs the four identical-structure stage backbones as ONE
     vmapped forward over stacked variables (numerically identical to the
     four separate forwards; disabled automatically for TTA/ensembles or
-    when backbone structures differ). ``mesh`` shards the batch dimension
-    over the mesh's data axis with replicated variables.
+    when backbone structures differ). Default OFF: measured on a v5e chip
+    (2026-08-16, batch 8192/16384/32768) the vmapped form lowers to
+    batch-group convolutions that run 7-14% SLOWER than the four separate
+    fused forwards (1.86-2.01M vs 2.15M superblocks/s) — XLA's
+    batch_group_count path tiles the small-channel layers worse than four
+    plain convs. Kept because it wins on CPU-backend meshes and as the
+    substrate for future grouped-kernel work. ``mesh`` shards the batch
+    dimension over the mesh's data axis with replicated variables.
     """
     ab_stacked = None
     if ab_ensemble_vars:
@@ -353,13 +359,16 @@ def run_pipeline_batched(
     samples,
     batch_size: int = 4096,
     mesh=None,
+    as_numpy: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Stream a whole dataset through a fused pipeline in fixed-shape
     batches (pads the tail; trims outputs). Accepts host numpy arrays or
     device (jax) arrays — device inputs are sliced/padded with jnp ops so
     nothing round-trips through the host. With ``mesh`` each batch is
     placed batch-sharded over the data axis before dispatch (the predict_fn
-    should have been built with the same mesh)."""
+    should have been built with the same mesh). ``as_numpy=False`` returns
+    device arrays WITHOUT synchronizing — callers pipelining host IO
+    against device compute convert at the very end."""
     n = samples.shape[0]
     on_device = not isinstance(samples, np.ndarray)
     xp = jnp if on_device else np
@@ -385,10 +394,13 @@ def run_pipeline_batched(
         # blocking sync per call and serialize the dispatch pipeline.
         for key, value in result.items():
             outputs.setdefault(key, []).append(value)
-    return {
-        k: np.asarray(jnp.concatenate([jnp.atleast_1d(v) for v in vals], axis=0))[:n]
+    gathered = {
+        k: jnp.concatenate([jnp.atleast_1d(v) for v in vals], axis=0)[:n]
         for k, vals in outputs.items()
     }
+    if not as_numpy:
+        return gathered
+    return {k: np.asarray(v) for k, v in gathered.items()}
 
 
 __all__ = [

@@ -32,6 +32,7 @@ def predict_partition_trees(
     level_predictors: Mapping[int, Callable],
     batch_size: int = 4096,
     mesh=None,
+    as_numpy: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Run the 4-level cascade over (N, 64, 64) uint16 superblocks.
 
@@ -40,6 +41,9 @@ def predict_partition_trees(
     trained for that size. Returns the assembled ``(N, 85)`` trees plus the
     per-level raw-mode arrays. ``mesh`` shards every level's batch over the
     data axis (build the level predictors with the same mesh).
+    ``as_numpy=False`` keeps every output on device without synchronizing,
+    so a caller can overlap the next chunk's disk IO / host tiling with
+    this chunk's device compute (convert once at the end).
     """
     missing = [s for s in LEVEL_SIZES if s not in level_predictors]
     if missing:
@@ -79,7 +83,7 @@ def predict_partition_trees(
 
     quad_tile_device = jax.jit(_quad_tile_fn, static_argnums=1)
 
-    remap = V6_FINAL_TO_RAW
+    remap = jnp.asarray(V6_FINAL_TO_RAW) if not as_numpy else V6_FINAL_TO_RAW
     level_modes = []
     per_level: Dict[str, np.ndarray] = {}
     for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
@@ -88,14 +92,17 @@ def predict_partition_trees(
         # so tail padding never dominates the transfer/compute.
         level_batch = min(batch_size, -(-blocks.shape[0] // 256) * 256)
         out = run_pipeline_batched(
-            level_predictors[size], blocks, batch_size=level_batch, mesh=mesh
+            level_predictors[size], blocks, batch_size=level_batch, mesh=mesh,
+            as_numpy=as_numpy,
         )
         raw_modes = remap[out["final"]].reshape(n, nodes)
         level_modes.append(raw_modes)
         per_level[f"modes_{size}"] = raw_modes
 
     trees = assemble_trees(level_modes)
-    return {"trees": np.asarray(trees), **per_level}
+    if as_numpy:
+        trees = np.asarray(trees)
+    return {"trees": trees, **per_level}
 
 
 def predict_frame_trees(

@@ -27,3 +27,10 @@ from av1tpu.ingest.etl import (  # noqa: F401
     write_npz,
     write_reference_layout,
 )
+from av1tpu.ingest.xlsx import (  # noqa: F401
+    export_dump_dir_to_xlsx,
+    parse_xlsx_directory,
+    parse_xlsx_file,
+    read_frame_xlsx,
+    write_frame_xlsx,
+)

@@ -80,12 +80,18 @@ def extract_sequence(
     qp_mode: str = "real",
     max_frames: Optional[int] = None,
     use_native: bool = True,
+    dump_format: str = "txt",
 ) -> Tuple[Dict[int, SequenceExtract], EtlReport]:
     """Extract labeled blocks for every dumped intra frame of one sequence.
 
     With ``use_native`` (default) and the C++ IO library built, all needed
     frames batch-load through the multithreaded native reader; otherwise
     frames stream through the numpy reader one by one.
+
+    ``dump_format="xlsx"`` ingests the reference's per-frame Excel label
+    archives (``{video}-intra-{N}.xlsx``, 004:145-172) instead of raw
+    ``partition_frame_N.txt`` dumps — for users who kept only the
+    workbooks (see :mod:`av1tpu.ingest.xlsx`).
     """
     yuv_path = Path(yuv_path)
     if resolution is None:
@@ -102,7 +108,12 @@ def extract_sequence(
     if remainder:
         report.warnings.append(f"{remainder} trailing bytes ignored")
 
-    dumps: List[DumpParseResult] = parse_dump_directory(dump_dir)
+    if dump_format == "xlsx":
+        from av1tpu.ingest.xlsx import parse_xlsx_directory
+
+        dumps: List[DumpParseResult] = parse_xlsx_directory(dump_dir)
+    else:
+        dumps = parse_dump_directory(dump_dir)
     if max_frames is not None:
         dumps = dumps[:max_frames]
 

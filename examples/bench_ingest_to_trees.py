@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--height", type=int, default=1088)
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--batch-size", type=int, default=8192)
+    parser.add_argument("--chunk-frames", type=int, default=8,
+                        help="frames per double-buffered IO/compute chunk")
     parser.add_argument("--bf16", action="store_true", default=True)
     args = parser.parse_args()
 
@@ -72,19 +74,51 @@ def main():
     )
     predictors = {size: predict for size in (64, 32, 16, 8)}
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from av1tpu.eval.tree_infer import predict_partition_trees
     from av1tpu.ingest.tiler import tile_frames
 
-    def one_pass():
-        planes = read_y_frames(video, geom, list(range(args.frames)))
+    chunk = max(1, args.chunk_frames)
+    frame_chunks = [
+        list(range(s, min(s + chunk, args.frames)))
+        for s in range(0, args.frames, chunk)
+    ]
+
+    def load_chunk(frame_ids):
+        """Disk read + host tiling for one chunk (runs on the IO thread)."""
+        planes = read_y_frames(video, geom, frame_ids)
         superblocks, _ = tile_frames(planes, 64)
-        return predict_partition_trees(superblocks, predictors, args.batch_size)
+        return superblocks
+
+    io_seconds = 0.0
+
+    def one_pass():
+        """Double-buffered: the IO thread reads+tiles chunk i+1 while the
+        device runs the 4-level cascade on chunk i (device outputs stay
+        unsynchronized until the very end)."""
+        nonlocal io_seconds
+        io_seconds = 0.0
+        device_trees = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(load_chunk, frame_chunks[0])
+            for ci in range(len(frame_chunks)):
+                t0 = time.perf_counter()
+                sbs = future.result()
+                io_seconds += time.perf_counter() - t0
+                if ci + 1 < len(frame_chunks):
+                    future = pool.submit(load_chunk, frame_chunks[ci + 1])
+                out = predict_partition_trees(
+                    sbs, predictors, args.batch_size, as_numpy=False
+                )
+                device_trees.append(out["trees"])
+        return np.concatenate([np.asarray(t) for t in device_trees])
 
     sbs_per_frame = -(-args.height // 64) * -(-args.width // 64)
     _ = one_pass()  # cold pass compiles every level shape
     start = time.perf_counter()
-    result = one_pass()  # steady state: frames batch as one cascade
-    total_trees = result["trees"].shape[0]
+    trees = one_pass()  # steady state
+    total_trees = trees.shape[0]
     seconds = time.perf_counter() - start
 
     report = {
@@ -94,10 +128,13 @@ def main():
         "seconds": round(seconds, 3),
         "superblocks_per_sec_disk_to_tree": round(total_trees / seconds, 1),
         "frames_per_sec": round(args.frames / seconds, 2),
+        "io_wait_seconds": round(io_seconds, 3),
+        "chunk_frames": chunk,
         "native_io": native_available(),
         "note": "every potential 64/32/16/8 block evaluated dense; "
         f"{sbs_per_frame} superblocks/frame = "
-        f"{sbs_per_frame * 85} potential tree nodes/frame",
+        f"{sbs_per_frame * 85} potential tree nodes/frame; IO+tiling "
+        "double-buffered against device compute",
     }
     print(json.dumps(report, indent=2))
 

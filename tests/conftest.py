@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite compiles several ResNet-18
+# forward/backward graphs; repeat runs skip all of them. (CPU backend
+# honors the cache — unlike the axon TPU AOT path.)
+_cache = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -27,7 +27,9 @@ from av1tpu.cli import (
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
-    """Synthetic YUV + dumps covering all partition families."""
+    """Synthetic YUV + dumps covering all partition families, extracted
+    once — every chain test is self-sufficient on this fixture (no
+    inter-test ordering)."""
     work = tmp_path_factory.mktemp("cli_e2e")
     rng = np.random.default_rng(0)
     width, height, frames = 128, 64, 12
@@ -47,24 +49,28 @@ def workspace(tmp_path_factory):
             mode = modes[(fi + bi) % len(modes)]
             lines.append(f"{fi} 0 6 0 {col} {mode} {90 + fi}")
         (dumps / f"partition_frame_{fi}.txt").write_text("\n".join(lines))
-    return work
 
-
-def test_full_cli_chain(workspace):
-    work = workspace
     extracted = work / "extracted"
     prepare_data.main([
-        "--yuv", str(work / "clip_128x64_30.yuv"),
-        "--dumps", str(work / "dumps"),
+        "--yuv", str(yuv),
+        "--dumps", str(dumps),
         "--out", str(extracted),
         "--block-sizes", "16",
     ])
+    return work
+
+
+def test_prepare_data_outputs(workspace):
+    extracted = workspace / "extracted"
     assert (extracted / "intra_raw_blocks").is_dir()
     report = json.loads(
         (extracted / "clip_128x64_30_etl_report.json").read_text()
     )
     assert report["frames_processed"] == 12
 
+
+def test_full_cli_chain(workspace):
+    work = workspace
     dataset = work / "v6_dataset"
     prepare_dataset.main([
         "--raw", str(extracted), "--out", str(dataset),

@@ -241,3 +241,81 @@ def test_etl_constant_qp_compat(tmp_path):
         tmp_path / "seq_64x64_30.yuv", dump_dir, block_sizes=(64,), qp_mode="constant80"
     )
     np.testing.assert_array_equal(extracts[64].qps, [80])
+
+
+class TestXlsxInterchange:
+    """Excel L0 contract (reference 004:145-172 / 007:59-99): write + read
+    without openpyxl, and ingestion parity with raw dumps."""
+
+    def _dump_dir(self, tmp_path):
+        dumps = tmp_path / "dumps"
+        dumps.mkdir()
+        for fi in range(3):
+            lines = [
+                f"{fi} 0 6 0 {c} {(fi + i) % 8} {90 + fi}"
+                for i, c in enumerate(range(0, 32, 4))
+            ]
+            # one 64px block + one non-intra line that must be filtered
+            lines.append(f"{fi} 0 12 0 0 3 {90 + fi}")
+            lines.append(f"{fi} 1 6 0 0 1 {90 + fi}")
+            (dumps / f"partition_frame_{fi}.txt").write_text("\n".join(lines))
+        return dumps
+
+    def test_roundtrip_matches_dump_parse(self, tmp_path):
+        from av1tpu.ingest.partition_dump import parse_dump_directory
+        from av1tpu.ingest.xlsx import (
+            export_dump_dir_to_xlsx, parse_xlsx_directory,
+        )
+
+        dumps = self._dump_dir(tmp_path)
+        xlsx_dir = tmp_path / "xlsx"
+        written = export_dump_dir_to_xlsx(dumps, xlsx_dir, "clip")
+        assert [p.name for p in written] == [
+            f"clip-intra-{i}.xlsx" for i in range(3)
+        ]
+
+        from_txt = parse_dump_directory(dumps)
+        from_xlsx = parse_xlsx_directory(xlsx_dir)
+        assert len(from_txt) == len(from_xlsx)
+        for a, b in zip(from_txt, from_xlsx):
+            assert a.frame_index == b.frame_index
+            assert a.intra_blocks == b.intra_blocks
+            assert set(a.per_block_size) == set(b.per_block_size)
+            for px, blocks_a in a.per_block_size.items():
+                blocks_b = b.per_block_size[px]
+                # xlsx rows are (row, col)-sorted per the reference writer;
+                # sort the dump rows the same way before comparing
+                order = np.lexsort((blocks_a.col_units, blocks_a.row_units))
+                np.testing.assert_array_equal(
+                    blocks_a.row_units[order], blocks_b.row_units)
+                np.testing.assert_array_equal(
+                    blocks_a.col_units[order], blocks_b.col_units)
+                np.testing.assert_array_equal(
+                    blocks_a.modes[order], blocks_b.modes)
+                np.testing.assert_array_equal(
+                    blocks_a.qps[order], blocks_b.qps)
+
+    def test_extract_sequence_from_xlsx(self, tmp_path):
+        from av1tpu.ingest.etl import extract_sequence
+        from av1tpu.ingest.xlsx import export_dump_dir_to_xlsx
+
+        dumps = self._dump_dir(tmp_path)
+        xlsx_dir = tmp_path / "xlsx"
+        export_dump_dir_to_xlsx(dumps, xlsx_dir, "clip")
+
+        rng = np.random.default_rng(0)
+        yuv = tmp_path / "clip_128x64_30.yuv"
+        with open(yuv, "wb") as f:
+            for _ in range(3):
+                f.write(rng.integers(0, 1024, (64, 128), dtype=np.uint16)
+                        .astype("<u2").tobytes())
+                f.write(np.zeros((32, 64), dtype="<u2").tobytes() * 2)
+
+        ex_txt, _ = extract_sequence(yuv, dumps, block_sizes=(16,))
+        ex_xlsx, _ = extract_sequence(
+            yuv, xlsx_dir, block_sizes=(16,), dump_format="xlsx"
+        )
+        np.testing.assert_array_equal(
+            ex_txt[16].blocks, ex_xlsx[16].blocks)
+        np.testing.assert_array_equal(ex_txt[16].modes, ex_xlsx[16].modes)
+        np.testing.assert_array_equal(ex_txt[16].qps, ex_xlsx[16].qps)
