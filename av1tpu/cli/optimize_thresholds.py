@@ -7,7 +7,11 @@
 
 Sweeps the [0.4, 0.7] grid (step 0.05) over stage-1 sigmoid probabilities
 on the validation split, emits the per-threshold CSV and a best-by-metric
-JSON summary like the reference.
+JSON summary like the reference — plus temperature calibration: the
+stage-1 temperature parameter exists in the reference (models.py:143-149)
+but nothing ever fits it; here the CLI fits T by val NLL (Guo 2017),
+reports ECE raw vs calibrated, sweeps both probability scales, and writes
+a calibrated checkpoint with the fitted temperature baked in.
 """
 from __future__ import annotations
 
@@ -21,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from av1tpu.cli.common import load_model_variables, load_split
-from av1tpu.eval.metrics import best_by, threshold_sweep
+from av1tpu.eval.metrics import (
+    best_by,
+    expected_calibration_error,
+    fit_temperature,
+    threshold_sweep,
+)
 from av1tpu.models import Stage1Model
 
 
@@ -42,12 +51,11 @@ def main(argv=None) -> None:
     model = Stage1Model(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     @jax.jit
-    def probs_fn(x):
-        logits = model.apply(variables, x, train=False)
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+    def logits_fn(x):
+        return model.apply(variables, x, train=False).astype(jnp.float32)
 
     n = len(val_b)
-    probs = np.zeros(n, dtype=np.float32)
+    logits = np.zeros(n, dtype=np.float32)
     bs = args.batch_size
     for start in range(0, n, bs):
         chunk = val_b.samples[start : start + bs]
@@ -55,11 +63,29 @@ def main(argv=None) -> None:
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
         x = jnp.asarray(chunk.astype(np.float32) / 1023.0)
-        probs[start : start + bs - pad] = np.asarray(probs_fn(x))[: bs - pad]
+        logits[start : start + bs - pad] = np.asarray(logits_fn(x))[: bs - pad]
 
     labels = val_b.labels["stage1"]
+    probs = 1.0 / (1.0 + np.exp(-logits))
+
+    # temperature calibration (Guo 2017): fit T by val NLL, compare ECE
+    temperature = fit_temperature(logits, labels)
+    probs_cal = 1.0 / (1.0 + np.exp(-logits / temperature))
+    ece_raw = expected_calibration_error(labels, probs)
+    ece_cal = expected_calibration_error(labels, probs_cal)
+
     sweep = threshold_sweep(labels, probs, *args.grid)
+    sweep_cal = threshold_sweep(labels, probs_cal, *args.grid)
+    for row, row_cal in zip(sweep, sweep_cal):
+        row["f1_calibrated"] = row_cal["f1"]
+        row["accuracy_calibrated"] = row_cal["accuracy"]
     summary = best_by(sweep)
+    summary["calibration"] = {
+        "temperature": temperature,
+        "ece_raw": ece_raw,
+        "ece_calibrated": ece_cal,
+        "best_f1_calibrated": max(r["f1_calibrated"] for r in sweep),
+    }
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -69,8 +95,21 @@ def main(argv=None) -> None:
         writer.writerows(sweep)
     (out / "threshold_summary.json").write_text(json.dumps(summary, indent=2))
 
+    # calibrated checkpoint: fitted temperature baked into the model's
+    # temperature parameter (used with apply_temp=True)
+    from av1tpu.train.checkpoint import save_variables_npz
+
+    calibrated = {k: v for k, v in variables.items()}
+    calibrated["params"] = dict(calibrated["params"])
+    calibrated["params"]["temperature"] = np.asarray([temperature], np.float32)
+    save_variables_npz(out / "stage1_calibrated_variables.npz", calibrated)
+
     print(json.dumps(summary["f1"], indent=2))
     print(f"best-by-f1 threshold: {summary['f1']['threshold']:.2f}")
+    print(
+        f"temperature: {temperature:.3f} "
+        f"(ECE {ece_raw:.4f} -> {ece_cal:.4f})"
+    )
 
 
 if __name__ == "__main__":

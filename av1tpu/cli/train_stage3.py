@@ -83,7 +83,9 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
         ev = run_eval(eval_step, state, val_arrays, args.batch_size, 4, mesh=mesh)
         value = ev.metrics["macro_f1"]
         history.append({"epoch": epoch, "train_loss": tr.loss,
-                        "val_metrics": ev.metrics})
+                        "val_metrics": ev.metrics,
+                        "throughput": tr.throughput,
+                        "train_seconds": tr.seconds})
         print(f"[stage3_ab_fgvc] epoch {epoch}: loss={tr.loss:.4f} "
               f"val_macro_f1={value:.4f}")
         if value > best:

@@ -316,8 +316,16 @@ def make_v5_pipeline(
         return jax.jit(predict)
     from av1tpu.parallel.mesh import batch_sharding
 
-    # qp (optional second arg) inherits an unspecified sharding.
-    return jax.jit(predict, in_shardings=(batch_sharding(mesh), None))
+    bs = batch_sharding(mesh)
+    # two jitted entries: in_shardings must match the args actually passed,
+    # and qp is optional (QP-conditioned models receive a per-sample array)
+    jit_no_qp = jax.jit(lambda images: predict(images, None), in_shardings=(bs,))
+    jit_qp = jax.jit(predict, in_shardings=(bs, bs))
+
+    def dispatch(images, qp=None):
+        return jit_no_qp(images) if qp is None else jit_qp(images, qp)
+
+    return dispatch
 
 
 def make_flatten_pipeline(

@@ -184,13 +184,70 @@ def classification_report_text(
     return "\n".join(lines)
 
 
+def expected_calibration_error(
+    labels: np.ndarray, probs: np.ndarray, bins: int = 15
+) -> float:
+    """Binary ECE: |accuracy - confidence| averaged over equal-width
+    probability bins, weighted by bin mass (Guo et al. 2017, the metric
+    the reference's temperature parameter was meant to optimize —
+    models.py:143-149 — but never did)."""
+    labels = np.asarray(labels).astype(np.float64)
+    probs = np.asarray(probs, dtype=np.float64)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    which = np.clip(np.digitize(probs, edges[1:-1]), 0, bins - 1)
+    ece = 0.0
+    n = len(probs)
+    for b in range(bins):
+        mask = which == b
+        if not mask.any():
+            continue
+        ece += mask.sum() / n * abs(labels[mask].mean() - probs[mask].mean())
+    return float(ece)
+
+
+def fit_temperature(
+    logits: np.ndarray, labels: np.ndarray,
+    grid=(0.05, 10.0, 200),
+) -> float:
+    """Fit a scalar temperature minimizing binary NLL on held-out logits.
+
+    Coarse log-spaced grid then two golden-section refinement passes —
+    the NLL is smooth in log T, so this is exact enough and dependency
+    free. Returns T (divide logits by it)."""
+    logits = np.asarray(logits, dtype=np.float64)
+    labels = np.asarray(labels).astype(np.float64)
+
+    def nll(temp: float) -> float:
+        z = logits / temp
+        # stable log-sigmoid formulation
+        return float(np.mean(np.logaddexp(0.0, -z) + (1.0 - labels) * z))
+
+    lo, hi, num = grid
+    ts = np.geomspace(lo, hi, int(num))
+    losses = [nll(t) for t in ts]
+    i = int(np.argmin(losses))
+    a = ts[max(i - 1, 0)]
+    b = ts[min(i + 1, len(ts) - 1)]
+    phi = (np.sqrt(5.0) - 1.0) / 2.0
+    for _ in range(40):
+        c = b - phi * (b - a)
+        d = a + phi * (b - a)
+        if nll(c) < nll(d):
+            b = d
+        else:
+            a = c
+    return float((a + b) / 2.0)
+
+
 __all__ = [
     "best_by",
     "classification_report_text",
     "compute_binary_metrics",
     "compute_metrics",
     "confusion",
+    "expected_calibration_error",
     "find_optimal_threshold",
+    "fit_temperature",
     "roc_auc",
     "threshold_sweep",
 ]

@@ -30,11 +30,89 @@ TIMED_ITERS = 50
 BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
 
-def bench_tpu() -> float:
+V5E_BF16_PEAK_FLOPS = 197e12  # single v5e chip, bf16 MXU
+
+
+def _build_models(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.eval import PipelineModels
+    from av1tpu.models import (
+        Stage1Model,
+        Stage2Model,
+        Stage3ABModel,
+        Stage3RectModel,
+    )
+    from av1tpu.utils.initialization import init_on_cpu
+
+    sample = jnp.zeros((2, 16, 16, 1), dtype=jnp.float32)
+
+    def build(model_cls, seed):
+        model = model_cls(dtype=dtype)
+        variables = init_on_cpu(model, jax.random.PRNGKey(seed), sample)
+        return model, variables
+
+    s1, s1v = build(Stage1Model, 1)
+    s2, s2v = build(Stage2Model, 2)
+    s3r, s3rv = build(Stage3RectModel, 3)
+    s3a, s3av = build(Stage3ABModel, 4)
+    return PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+
+
+def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
+    import jax
+    import jax.numpy as jnp
+
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1024, size=(batch, block_px, block_px, 1)),
+        dtype=jnp.uint16,
+    )
+    for _ in range(WARMUP_ITERS):
+        out = predict(images)
+    jax.block_until_ready(out["final"])
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = predict(images)
+    jax.block_until_ready(out["final"])
+    seconds = time.perf_counter() - start
+    throughput = batch * iters / seconds
+
+    flops_per_sample = None
+    try:
+        cost = predict.lower(images).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            flops_per_sample = flops / batch
+    except Exception:
+        pass
+    mfu = (
+        flops_per_sample * throughput / V5E_BF16_PEAK_FLOPS
+        if flops_per_sample
+        else None
+    )
+    return throughput, flops_per_sample, mfu
+
+
+def bench_tpu() -> dict:
+    """Headline: dense fused stage1-3 inference on 16px blocks, plus the
+    other block sizes and the capacity-gated serving variant.
+
+    Design note (measured 2026-08-16, v5e): the dense graph of four
+    separate fused forwards is the fastest known formulation — the vmapped
+    stacked-backbone variant lowers to batch-group convs that run 7-14%
+    slower, so ``stacked=False`` here. ~39% MFU; the per-layer breakdown
+    (docs/PARITY.md) attributes the gap mostly to 64-channel layer1 convs
+    (half the MXU lanes idle) and the ~0.7 ms/dispatch tunnel floor.
+    """
     import jax
 
     # Persistent compile cache: repeat bench runs skip the ~minutes-long
-    # cold XLA compile of the four ResNet graphs.
+    # cold XLA compile of the four ResNet graphs (helps CPU runs; the axon
+    # TPU AOT path bypasses it).
     cache_dir = Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     try:
@@ -44,48 +122,41 @@ def bench_tpu() -> float:
         pass
     import jax.numpy as jnp
 
-    from av1tpu.eval import PipelineModels, make_v6_pipeline
-    from av1tpu.models import (
-        Stage1Model,
-        Stage2Model,
-        Stage3ABModel,
-        Stage3RectModel,
-    )
+    from av1tpu.eval import make_v6_pipeline
+    from av1tpu.eval.gated import make_v6_pipeline_gated
 
     dtype = jnp.bfloat16
-    sample = jnp.zeros((2, 16, 16, 1), dtype=jnp.float32)
+    models = _build_models(dtype)
 
-    def build(model_cls, seed):
-        model = model_cls(dtype=dtype)
-        from av1tpu.utils.initialization import init_on_cpu
-
-        variables = init_on_cpu(model, jax.random.PRNGKey(seed), sample)
-        return model, variables
-
-    s1, s1v = build(Stage1Model, 1)
-    s2, s2v = build(Stage2Model, 2)
-    s3r, s3rv = build(Stage3RectModel, 3)
-    s3a, s3av = build(Stage3ABModel, 4)
     predict = make_v6_pipeline(
-        PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av),
-        stage1_threshold=0.45,
-        input_dtype=dtype,
+        models, stage1_threshold=0.45, input_dtype=dtype
     )
+    headline, flops_per_sample, mfu = _time_predict(predict, BATCH, 16)
 
-    images = jnp.asarray(
-        np.random.default_rng(0).integers(0, 1024, size=(BATCH, 16, 16, 1)),
-        dtype=jnp.uint16,
+    results = {
+        "throughput": headline,
+        "flops_per_sample": flops_per_sample,
+        "mfu": mfu,
+        "per_block_px": {},
+    }
+    # the other three levels of the partition hierarchy (same four models,
+    # larger inputs -> more conv FLOPs/sample); fewer iters: these are
+    # secondary figures
+    for px, batch in ((8, BATCH), (32, 2048), (64, 512)):
+        thr, fps, m = _time_predict(
+            make_v6_pipeline(models, stage1_threshold=0.45, input_dtype=dtype),
+            batch, px, iters=20,
+        )
+        results["per_block_px"][px] = {
+            "throughput": round(thr, 1),
+            "mfu": round(m, 4) if m else None,
+        }
+    gated = make_v6_pipeline_gated(
+        models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype
     )
-    for _ in range(WARMUP_ITERS):
-        out = predict(images)
-    jax.block_until_ready(out["final"])
-
-    start = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        out = predict(images)
-    jax.block_until_ready(out["final"])
-    seconds = time.perf_counter() - start
-    return BATCH * TIMED_ITERS / seconds
+    thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=20)
+    results["gated_capacity_0.5"] = round(thr_gated, 1)
+    return results
 
 
 def bench_torch_cpu_reference(num_samples: int = 512, batch: int = 256) -> float:
@@ -155,8 +226,9 @@ def get_baseline() -> float:
 
 
 def main() -> None:
-    tpu_throughput = bench_tpu()
+    results = bench_tpu()
     baseline = get_baseline()
+    tpu_throughput = results["throughput"]
     print(
         json.dumps(
             {
@@ -164,6 +236,13 @@ def main() -> None:
                 "value": round(tpu_throughput, 1),
                 "unit": "superblocks/sec",
                 "vs_baseline": round(tpu_throughput / baseline, 2),
+                "mfu_bf16": round(results["mfu"], 4) if results["mfu"] else None,
+                "flops_per_superblock": (
+                    round(results["flops_per_sample"], 1)
+                    if results["flops_per_sample"] else None
+                ),
+                "per_block_px": results["per_block_px"],
+                "gated_capacity_0.5": results["gated_capacity_0.5"],
             }
         )
     )

@@ -71,6 +71,7 @@ def test_prepare_data_outputs(workspace):
 
 def test_full_cli_chain(workspace):
     work = workspace
+    extracted = work / "extracted"
     dataset = work / "v6_dataset"
     prepare_dataset.main([
         "--raw", str(extracted), "--out", str(dataset),

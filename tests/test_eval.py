@@ -403,3 +403,23 @@ def test_gated_pipeline_overflow_fallback():
     final = np.asarray(out["final"])
     computed = np.asarray(out["stage2_pred"]) >= 0
     np.testing.assert_array_equal(final[~computed], 1)  # SPLIT fallback
+
+
+def test_temperature_calibration():
+    """fit_temperature recovers a known miscalibration scale and reduces
+    ECE on overconfident logits."""
+    from av1tpu.eval.metrics import expected_calibration_error, fit_temperature
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    true_logits = rng.normal(0, 2.0, n)
+    labels = (rng.uniform(size=n) < 1 / (1 + np.exp(-true_logits))).astype(int)
+    overconfident = true_logits * 3.0  # model reports 3x-scaled logits
+
+    t = fit_temperature(overconfident, labels)
+    assert 2.5 < t < 3.6  # recovers ~3
+
+    probs_raw = 1 / (1 + np.exp(-overconfident))
+    probs_cal = 1 / (1 + np.exp(-overconfident / t))
+    assert expected_calibration_error(labels, probs_cal) < \
+        expected_calibration_error(labels, probs_raw)
