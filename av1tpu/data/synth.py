@@ -56,11 +56,35 @@ def class_templates(size: int = 16, lo: float = 300.0, hi: float = 700.0):
 def synth_blocks(
     labels: np.ndarray, rng: np.random.Generator,
     size: int = 16, noise: float = 40.0,
+    contrast: Optional[Tuple[float, float]] = (0.05, 1.0),
+    mix_prob: float = 0.35,
 ) -> np.ndarray:
-    """Vectorized (N, size, size, 1) uint16 blocks for raw class labels."""
+    """Vectorized (N, size, size, 1) uint16 blocks for raw class labels.
+
+    Difficulty is graded so the learned metrics land away from 0/100%
+    (matching the character of real encoder data, where many partition
+    decisions are genuinely ambiguous):
+      * per-block **contrast scaling** ~ U(contrast): low-contrast blocks
+        approach flat (NONE-like) regardless of label — the stage-1
+        ambiguity real video has;
+      * with probability ``mix_prob`` the pattern is a 50/50 **mixture**
+        with a uniformly random other class's template — irreducible
+        inter-class confusion that exercises the cascade error analysis.
+    Set ``contrast=None, mix_prob=0`` for the cleanly separable variant.
+    """
     labels = np.asarray(labels)
+    n = len(labels)
     templates = class_templates(size)
-    imgs = templates[labels] + rng.normal(0.0, noise, (len(labels), size, size))
+    mid = templates.mean()
+    centered = templates - templates.mean(axis=(1, 2), keepdims=True)
+    patterns = centered[labels]
+    if mix_prob > 0:
+        other = rng.integers(0, len(templates), n)
+        lam = np.where(rng.uniform(size=n) < mix_prob, 0.5, 1.0)[:, None, None]
+        patterns = lam * patterns + (1.0 - lam) * centered[other]
+    if contrast is not None:
+        patterns = patterns * rng.uniform(*contrast, n)[:, None, None]
+    imgs = mid + patterns + rng.normal(0.0, noise, (n, size, size))
     return np.clip(imgs, 0, 1023).astype(np.uint16)[..., None]
 
 

@@ -40,3 +40,12 @@ from av1tpu.eval.report import (  # noqa: F401
     write_predictions_npz,
     write_text_report,
 )
+from av1tpu.eval.compare import (  # noqa: F401
+    compare_operating_points,
+    compose_final,
+    render_markdown,
+)
+from av1tpu.eval.metrics import (  # noqa: F401
+    expected_calibration_error,
+    fit_temperature,
+)

@@ -423,3 +423,34 @@ def test_temperature_calibration():
     probs_cal = 1 / (1 + np.exp(-overconfident / t))
     assert expected_calibration_error(labels, probs_cal) < \
         expected_calibration_error(labels, probs_raw)
+
+
+def test_operating_point_comparison_matches_rerun():
+    """compose_final at a new threshold == running the fused pipeline at
+    that threshold; report structure carries per-class deltas."""
+    from av1tpu.eval import (
+        PipelineModels, compare_operating_points, compose_final,
+        make_v6_pipeline, run_pipeline_batched,
+    )
+    from av1tpu.eval.compare import render_markdown
+
+    models = PipelineModels(
+        *make_stub(1, 1), *make_stub(3, 2), *make_stub(2, 3), *make_stub(4, 4)
+    )
+    images = np.random.default_rng(3).integers(
+        0, 1024, (64, 8, 8, 1)
+    ).astype(np.uint16)
+    out_045 = run_pipeline_batched(
+        make_v6_pipeline(models, stage1_threshold=0.45), images, 32)
+    out_060 = run_pipeline_batched(
+        make_v6_pipeline(models, stage1_threshold=0.60), images, 32)
+    np.testing.assert_array_equal(
+        compose_final(out_045, 0.60), out_060["final"])
+
+    labels = np.random.default_rng(4).integers(0, 8, 64)
+    names = [f"c{i}" for i in range(8)]
+    report = compare_operating_points(out_045, labels, [0.45, 0.60], names)
+    assert len(report["points"]) == 2
+    assert "delta_vs_first" in report["points"][1]
+    md = render_markdown(report)
+    assert "th=0.45" in md and "th=0.60" in md
