@@ -69,14 +69,31 @@ def test_prepare_data_outputs(workspace):
     assert report["frames_processed"] == 12
 
 
-def test_full_cli_chain(workspace):
-    work = workspace
-    extracted = work / "extracted"
-    dataset = work / "v6_dataset"
+@pytest.fixture(scope="module")
+def v6_dataset(workspace):
+    dataset = workspace / "v6_dataset"
     prepare_dataset.main([
-        "--raw", str(extracted), "--out", str(dataset),
+        "--raw", str(workspace / "extracted"), "--out", str(dataset),
         "--variant", "v6", "--block-size", "16", "--test-ratio", "0.3",
     ])
+    return dataset
+
+
+@pytest.fixture(scope="module")
+def stage1_ckpt(workspace, v6_dataset):
+    """One toy stage-1 training shared by the v6 and flatten chains."""
+    out = workspace / "runs" / "stage1"
+    train_stage1.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(out),
+        "--epochs", "1", "--batch-size", "16",
+    ])
+    return out / "stage1_best_variables.npz"
+
+
+def test_full_cli_chain(workspace, v6_dataset, stage1_ckpt):
+    work = workspace
+    dataset = v6_dataset
     assert (dataset / "block_16" / "train.npz").exists()
 
     stage3_dir = work / "v6_stage3"
@@ -88,12 +105,7 @@ def test_full_cli_chain(workspace):
     assert (stage3_dir / "RECT" / "block_16" / "train.npz").exists()
 
     runs = work / "runs"
-    train_stage1.main([
-        "--dataset-dir", str(dataset), "--block-size", "16",
-        "--output-dir", str(runs / "stage1"),
-        "--epochs", "1", "--batch-size", "16",
-    ])
-    s1_ckpt = runs / "stage1" / "stage1_best_variables.npz"
+    s1_ckpt = stage1_ckpt
     assert s1_ckpt.exists()
     assert (runs / "stage1" / "stage1_history.json").exists()
 
@@ -195,29 +207,18 @@ def test_v5_cli_chain(workspace, tmp_path):
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
 
 
-def test_flatten_cli_chain(workspace, tmp_path):
-    """flatten variant: dataset prep -> 7-way train -> flatten eval."""
-    from av1tpu.cli import (
-        prepare_dataset, train_stage1, train_stage2_flat, run_pipeline_eval,
-    )
+def test_flatten_cli_chain(workspace, v6_dataset, stage1_ckpt, tmp_path):
+    """flatten variant: dataset prep -> 7-way train -> flatten eval
+    (shares the module's v6 dataset + stage-1 checkpoint fixtures)."""
+    from av1tpu.cli import prepare_dataset, train_stage2_flat, run_pipeline_eval
 
     work = workspace
-    v6_dataset = tmp_path / "v6_ds"
     flat_dataset = tmp_path / "flat_ds"
-    prepare_dataset.main([
-        "--raw", str(work / "extracted"), "--out", str(v6_dataset),
-        "--variant", "v6", "--block-size", "16", "--test-ratio", "0.3",
-    ])
     prepare_dataset.main([
         "--raw", str(work / "extracted"), "--out", str(flat_dataset),
         "--variant", "flatten", "--block-size", "16", "--test-ratio", "0.3",
     ])
     runs = tmp_path / "flat_runs"
-    train_stage1.main([
-        "--dataset-dir", str(v6_dataset), "--block-size", "16",
-        "--output-dir", str(runs / "stage1"),
-        "--epochs", "1", "--batch-size", "16",
-    ])
     train_stage2_flat.main([
         "--dataset-dir", str(flat_dataset), "--block-size", "16",
         "--output-dir", str(runs / "flat"),
@@ -230,8 +231,7 @@ def test_flatten_cli_chain(workspace, tmp_path):
         "--dataset-dir", str(v6_dataset), "--block-size", "16",
         "--output-dir", str(runs / "pipeline"),
         "--batch-size", "32",
-        "--stage1-checkpoint",
-        str(runs / "stage1" / "stage1_best_variables.npz"),
+        "--stage1-checkpoint", str(stage1_ckpt),
         "--flatten-checkpoint", str(flat_ckpt),
     ])
     metrics = json.loads(
