@@ -171,13 +171,18 @@ def main(argv=None) -> None:
         return
 
     if args.head == "AB" and args.ensemble:
+        members = []
         for member in range(1, args.ensemble + 1):
             m_train, m_val = load_head_split(
                 args.dataset_dir, "AB", args.block_size, member=member
             )
+            total_epochs = args.epochs or 30
+            freeze = min(5, max(1, total_epochs // 2))
             recipe = stage3_ab_ensemble_recipe(
                 seed_offset=member, batch_size=args.batch_size,
                 steps_per_epoch=max(len(m_train) // args.batch_size, 1),
+                freeze_epochs=freeze,
+                unfreeze_epochs=max(1, total_epochs - freeze),
             )
             recipe = replace(
                 recipe, input_shape=(args.block_size, args.block_size, 1)
@@ -188,6 +193,18 @@ def main(argv=None) -> None:
             )
             export_best(result, recipe.name, args.output_dir)
             write_history(result, args.output_dir, recipe.name)
+            if result.best_state is not None:
+                members.append({
+                    "params": result.best_state.params,
+                    "batch_stats": result.best_state.batch_stats,
+                })
+        # the layout run_pipeline_eval --stage3-ab-ensemble-dir consumes
+        from av1tpu.eval.ensemble import save_ensemble
+
+        save_ensemble(
+            args.output_dir / "ensemble", members,
+            meta={"members": len(members), "epochs": args.epochs or 30},
+        )
         return
 
     if args.variant == "v5":

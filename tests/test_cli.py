@@ -287,3 +287,54 @@ def test_predict_trees_cli(tmp_path):
     np.testing.assert_array_equal(data["grid_shape"], [1, 2])
     stats = json.loads((out / "tree_stats.json").read_text())
     assert stats["0"]["superblocks"] == 2
+
+
+def test_ab_ensemble_train_and_eval(workspace, v6_dataset, stage1_ckpt, tmp_path):
+    """--ensemble N trains members on the shuffled train_vN sets and writes
+    the save_ensemble layout that --stage3-ab-ensemble-dir consumes."""
+    from av1tpu.cli import prepare_stage3, run_pipeline_eval, train_stage3
+    from av1tpu.cli import train_stage2
+
+    stage3_dir = tmp_path / "stage3"
+    prepare_stage3.main([
+        "--dataset-dir", str(v6_dataset), "--out", str(stage3_dir),
+        "--block-size", "16", "--ensemble-members", "2",
+    ])
+    runs = tmp_path / "runs"
+    train_stage3.main([
+        "--head", "AB", "--ensemble", "2",
+        "--dataset-dir", str(stage3_dir), "--block-size", "16",
+        "--output-dir", str(runs / "ab_ens"),
+        "--epochs", "2", "--batch-size", "8",
+    ])
+    ens_dir = runs / "ab_ens" / "ensemble"
+    assert (ens_dir / "ensemble.json").exists()
+    assert (ens_dir / "member_2_variables.npz").exists()
+
+    # minimal stage2 + rect checkpoints to drive the ensemble pipeline eval
+    train_stage2.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "s2"),
+        "--epochs", "1", "--freeze-epochs", "1", "--batch-size", "16",
+    ])
+    train_stage3.main([
+        "--head", "RECT",
+        "--dataset-dir", str(stage3_dir), "--block-size", "16",
+        "--output-dir", str(runs / "rect"),
+        "--epochs", "1", "--batch-size", "8",
+    ])
+    run_pipeline_eval.main([
+        "--variant", "v6",
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "pipe"),
+        "--batch-size", "32",
+        "--stage1-checkpoint", str(stage1_ckpt),
+        "--stage2-checkpoint", str(runs / "s2" / "stage2_best_variables.npz"),
+        "--stage3-rect-checkpoint",
+        str(runs / "rect" / "stage3_rect_best_variables.npz"),
+        "--stage3-ab-ensemble-dir", str(ens_dir),
+    ])
+    metrics = json.loads(
+        (runs / "pipe" / "pipeline_metrics_val.json").read_text()
+    )
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
