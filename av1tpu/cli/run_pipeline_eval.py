@@ -72,6 +72,28 @@ def build_v6(args, dtype, mesh=None):
         ab_cls = FGVCModel if args.ab_fgvc else Stage3ABModel
         s3a, s3av = load(args.stage3_ab_checkpoint, ab_cls)
     models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+    if args.int8 or args.folded:
+        if args.tta or ab_ensemble is not None or args.capacity is not None:
+            raise SystemExit(
+                "--int8/--folded are incompatible with --tta/--capacity/ensembles"
+            )
+    if args.folded:
+        from av1tpu.eval import make_v6_pipeline_folded
+
+        return make_v6_pipeline_folded(
+            models, stage1_threshold=args.stage1_threshold,
+            float_dtype=dtype, mesh=mesh,
+        )
+    if args.int8:
+        from av1tpu.quant import make_v6_pipeline_int8
+
+        calib = args.calib_images
+        if calib is None:
+            raise SystemExit("--int8 requires calibration images (internal)")
+        return make_v6_pipeline_int8(
+            models, calib, stage1_threshold=args.stage1_threshold,
+            float_dtype=dtype, mesh=mesh,
+        )
     if args.capacity is not None:
         if args.tta or ab_ensemble is not None:
             raise SystemExit("--capacity is incompatible with --tta/ensembles")
@@ -118,6 +140,19 @@ def main(argv=None) -> None:
                         "(top-K by gate probability). Bit-identical to dense "
                         "when it covers the gate pass rate; ~1.5x throughput "
                         "at 0.5. Incompatible with --tta/--stage3-ab-ensemble-dir")
+    parser.add_argument("--folded", action="store_true",
+                        help="v6 only: BN-folded serving path with the "
+                        "Pallas layer-group mega-kernel (eval.folded) — "
+                        "same math as the flax graph, fewer HBM passes. "
+                        "FGVC AB falls back to flax inside the graph")
+    parser.add_argument("--int8", action="store_true",
+                        help="v6 only: serve the post-training-quantized "
+                        "int8 pipeline (av1tpu.quant) — BN-folded weights, "
+                        "per-channel int8, activations calibrated on "
+                        "--calib-samples train images. An FGVC AB model "
+                        "stays float inside the fused graph")
+    parser.add_argument("--calib-samples", type=int, default=512,
+                        help="calibration batch size for --int8")
     parser.add_argument("--reference-compat-labels", action="store_true",
                         help="v6 only: reproduce the reference's misaligned "
                         "raw-vs-reordered label comparison (quirk Q7) for "
@@ -141,6 +176,11 @@ def main(argv=None) -> None:
         print(f"sharding inference over mesh {dict(mesh.shape)}")
     train_b, val_b, _ = load_split(args.dataset_dir, args.block_size)
     bundle = val_b if args.split == "val" else train_b
+    # int8 calibration draws from the TRAIN split (never the eval split)
+    args.calib_images = (
+        train_b.samples[: args.calib_samples] if getattr(args, "int8", False)
+        else None
+    )
 
     if args.variant == "v6":
         required = ["stage1_checkpoint", "stage2_checkpoint",
@@ -204,6 +244,7 @@ def main(argv=None) -> None:
         "split": args.split,
         "threshold": args.stage1_threshold,
         "samples": len(bundle),
+        "int8": bool(getattr(args, "int8", False)),
         "throughput_superblocks_per_sec": throughput,
         "metrics": metrics,
         "stage1": stage1_metrics,

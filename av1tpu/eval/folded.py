@@ -1,0 +1,125 @@
+"""BN-folded serving pipeline with the Pallas layer-group mega-kernel.
+
+The float twin of the int8 path (``av1tpu.quant``): every stage backbone's
+conv+BN pairs fold into conv+bias (``fold_backbone``), and the
+HBM-bound layer1+SE1+layer2+SE2 subgraph runs as ONE ``pallas_call``
+(``kernels.resnet_group.fused_group12``) that keeps all intermediates in
+VMEM — addressing the measured bottleneck in docs/PARITY.md ("~95% of
+layer-group time is elementwise/HBM", ~24 HBM passes collapsed to 2).
+Layer3/4 run at 1x1 spatial extent where activations are tiny; they stay
+on the XLA path (center-tap matmuls).
+
+Output contract and routing are identical to ``make_v6_pipeline``
+(``008_run_pipeline_eval_v6.py:69-127`` semantics via ``v6_route``).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from av1tpu.data.records import NORM_10BIT
+from av1tpu.eval.hierarchy import v6_route
+from av1tpu.kernels.resnet_group import fused_group12, pack_group12_weights
+from av1tpu.quant.ptq import _backbone_apply, _head_apply, fold_backbone, fold_head
+
+
+def _folded_stage_fn(
+    variables, float_dtype, use_pallas_groups: bool, interpret: bool
+):
+    """(x)->logits functional forward for one stage: folded backbone (+
+    optional Pallas group kernel) + dense head stack."""
+    folded = fold_backbone(variables)
+    head = fold_head(variables)
+    group12_fn = None
+    if use_pallas_groups:
+        weights = tuple(
+            w.astype(float_dtype) for w in pack_group12_weights(folded)
+        )
+        group12_fn = lambda x: fused_group12(  # noqa: E731
+            x, weights, interpret=interpret
+        )
+
+    def forward(x):
+        feats = _backbone_apply(
+            folded, x, float_dtype=float_dtype, group12_fn=group12_fn
+        )
+        return _head_apply(head, feats, float_dtype=float_dtype)
+
+    return forward
+
+
+def make_v6_pipeline_folded(
+    models,
+    stage1_threshold: float = 0.45,
+    norm_scale: float = NORM_10BIT,
+    float_dtype=jnp.bfloat16,
+    use_pallas_groups: bool = True,
+    interpret: bool = False,
+    mesh=None,
+):
+    """Fused v6 pipeline over BN-folded weights + the Pallas group kernel.
+
+    ``models``: a ``PipelineModels``. An FGVC AB stage (different head
+    structure) falls back to its flax ``apply`` inside the same graph.
+    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
+    tests). Batch size should be a multiple of the kernel tile (the
+    kernel degrades the tile to the largest divisor otherwise).
+    """
+    f1 = _folded_stage_fn(
+        models.stage1_vars, float_dtype, use_pallas_groups, interpret
+    )
+    f2 = _folded_stage_fn(
+        models.stage2_vars, float_dtype, use_pallas_groups, interpret
+    )
+    f3r = _folded_stage_fn(
+        models.stage3_rect_vars, float_dtype, use_pallas_groups, interpret
+    )
+    try:
+        f3a = _folded_stage_fn(
+            models.stage3_ab_vars, float_dtype, use_pallas_groups, interpret
+        )
+    except KeyError:
+        f3a = lambda x: models.stage3_ab.apply(  # noqa: E731
+            models.stage3_ab_vars, x, train=False
+        )
+
+    def predict(images) -> Dict[str, jnp.ndarray]:
+        x = images.astype(jnp.float32) / norm_scale
+        x = x.astype(float_dtype)
+        s1_logits = jnp.squeeze(f1(x), axis=-1)
+        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
+        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
+        s2_pred = jnp.argmax(f2(x), axis=-1).astype(jnp.int32)
+        rect_pred = jnp.argmax(f3r(x), axis=-1).astype(jnp.int32)
+        ab_pred = jnp.argmax(f3a(x), axis=-1).astype(jnp.int32)
+        return {
+            "final": v6_route(s1_pred, s2_pred, rect_pred, ab_pred),
+            "stage1_prob": s1_prob,
+            "stage1_pred": s1_pred,
+            "stage2_pred": s2_pred,
+            "stage3_rect_pred": rect_pred,
+            "stage3_ab_pred": ab_pred,
+        }
+
+    if mesh is None:
+        return jax.jit(predict)
+    # pallas_call has no GSPMD partitioning rule, so the sharded path maps
+    # the WHOLE predict over the data axis with shard_map: the graph is
+    # per-sample (no cross-batch ops), so per-shard execution is exact and
+    # collective-free; closed-over weights replicate.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from av1tpu.parallel.mesh import DATA_AXIS
+
+    spec = P(DATA_AXIS)
+    sharded = shard_map(
+        predict, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+__all__ = ["make_v6_pipeline_folded"]

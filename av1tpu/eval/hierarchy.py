@@ -103,6 +103,24 @@ def _jit_with_mesh(fn, mesh):
     return jax.jit(fn, in_shardings=(batch_sharding(mesh),))
 
 
+def v6_route(s1_pred, s2_pred, rect_pred, ab_pred):
+    """Dense masked v6 hierarchy resolution -> final 8-class ids.
+
+    Single source of truth for the routing semantics of
+    ``008_run_pipeline_eval_v6.py:69-127`` (NONE=0, SPLIT=1, RECT+2,
+    AB+4), shared by the float and int8 pipelines.
+    """
+    return jnp.where(
+        s1_pred == 0,
+        0,
+        jnp.where(
+            s2_pred == 0,
+            1,
+            jnp.where(s2_pred == 1, rect_pred + 2, ab_pred + 4),
+        ),
+    )
+
+
 def make_v6_pipeline(
     models: PipelineModels,
     stage1_threshold: float = 0.45,
@@ -226,15 +244,7 @@ def make_v6_pipeline(
                 ab_logits = stage_logits(models.stage3_ab, s3a_vars, x)
             ab_pred = jnp.argmax(ab_logits, axis=-1).astype(jnp.int32)
 
-        final = jnp.where(
-            s1_pred == 0,
-            0,
-            jnp.where(
-                s2_pred == 0,
-                1,
-                jnp.where(s2_pred == 1, rect_pred + 2, ab_pred + 4),
-            ),
-        )
+        final = v6_route(s1_pred, s2_pred, rect_pred, ab_pred)
         return {
             "final": final,
             "stage1_prob": s1_prob,
@@ -417,4 +427,5 @@ __all__ = [
     "make_v5_pipeline",
     "make_v6_pipeline",
     "run_pipeline_batched",
+    "v6_route",
 ]

@@ -26,14 +26,16 @@ _LIB_CANDIDATES = (
 )
 
 _lib: Optional[ctypes.CDLL] = None
-_load_attempted = False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_attempted
-    if _load_attempted:
+    """Load the native library, memoizing only SUCCESS: a miss re-probes,
+    so building the .so later in a process (e.g. a test fixture running
+    ``make`` after another module already fell back to numpy) is picked
+    up. The retry cost is two ``Path.exists`` calls."""
+    global _lib
+    if _lib is not None:
         return _lib
-    _load_attempted = True
     override = os.environ.get("AV1TPU_NATIVE_LIB")
     candidates = ((Path(override),) if override else ()) + _LIB_CANDIDATES
     for path in candidates:

@@ -1,0 +1,486 @@
+"""Post-training int8 quantization (PTQ) for the serving path.
+
+The reference has no quantization story (fp32 eager torch throughout —
+SURVEY.md §2.2). On TPU v5e the int8 MXU peak is ~2x bf16 (~394 vs ~197
+TOPS) and the v6 backbone (``pesquisa_v6/v6_pipeline/models.py:64-126``)
+is conv/matmul-dominated, so an int8 serving path raises the throughput
+ceiling of the fused hierarchical pipeline beyond what bf16 can reach.
+This subsystem is net-new capability, not a port.
+
+TPU-first design:
+
+* **BatchNorm folding.** At inference BN is a per-channel affine map, so
+  every conv+BN pair folds into one conv with a bias — one quantizable
+  weight per layer and no BN arithmetic left in the graph.
+* **Symmetric per-output-channel int8 weights; per-tensor activation
+  scales** calibrated from a representative batch (absmax). Zero-point is
+  0 everywhere, so SAME-padding zeros stay exact in the integer domain.
+* **Convs lower to im2col + int8 ``dot_general``** with int32
+  accumulation — XLA maps that contraction straight onto the int8 MXU.
+  At 1x1 spatial extent a 3x3 SAME conv collapses to its center tap
+  (the ``SpatialConv`` trick, ``models/layers.py:160``), carried into the
+  integer domain: the deep ResNet stages on 16px blocks become pure int8
+  channel matmuls.
+* **Float islands.** The stem conv, SE / spatial-attention gates,
+  residual adds and dequant epilogues stay in float (``float_dtype``):
+  they are a rounding-sensitive, FLOP-trivial fraction of the graph.
+
+Calibration and quantized inference share ONE forward implementation
+(``_backbone_apply`` / ``_head_apply`` in observe- vs quantize-mode), so
+the scales always describe exactly the tensors the int8 graph quantizes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from av1tpu.data.records import NORM_10BIT
+
+_BN_EPS = 1e-5
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+_GROUPS = ("layer1", "layer2", "layer3", "layer4")
+
+
+# ---------------------------------------------------------------------------
+# Folding: conv+BN -> conv+bias
+# ---------------------------------------------------------------------------
+
+
+def _fold(conv_kernel, bn_params, bn_stats):
+    """Fold a BatchNorm (inference form) into the preceding conv.
+
+    y = scale*(conv(x)-mean)/sqrt(var+eps) + bias
+      = conv(x)*k + (bias - mean*k),  k = scale/sqrt(var+eps)
+    """
+    k = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
+    return conv_kernel * k, bn_params["bias"] - bn_stats["mean"] * k
+
+
+def fold_backbone(variables: Mapping) -> Dict:
+    """BN-fold an ``ImprovedBackbone`` variable tree (params+batch_stats)
+    into a flat dict of conv kernels+biases plus the float gate weights."""
+    p = variables["params"]["backbone"]
+    bs = variables["batch_stats"]["backbone"]
+    folded: Dict[str, Any] = {}
+    k, b = _fold(p["conv1"]["kernel"], p["bn1"], bs["bn1"])
+    folded["stem"] = {"kernel": k, "bias": b}
+    for gi, gname in enumerate(_GROUPS, start=1):
+        for bi in range(2):
+            n = f"{gname}_{bi}"
+            blk: Dict[str, Any] = {}
+            k1, b1 = _fold(p[n]["conv1"]["kernel"], p[n]["bn1"], bs[n]["bn1"])
+            k2, b2 = _fold(p[n]["conv2"]["kernel"], p[n]["bn2"], bs[n]["bn2"])
+            blk["conv1"] = {"kernel": k1, "bias": b1}
+            blk["conv2"] = {"kernel": k2, "bias": b2}
+            if "downsample_conv" in p[n]:
+                kd, bd = _fold(
+                    p[n]["downsample_conv"]["kernel"],
+                    p[n]["downsample_bn"],
+                    bs[n]["downsample_bn"],
+                )
+                blk["downsample"] = {"kernel": kd, "bias": bd}
+            else:
+                blk["downsample"] = None
+            folded[n] = blk
+        folded[f"se{gi}"] = {
+            "d0": p[f"se{gi}"]["Dense_0"]["kernel"],
+            "d1": p[f"se{gi}"]["Dense_1"]["kernel"],
+        }
+    folded["spatial_attn"] = p["spatial_attn"]["Conv_0"]["kernel"]
+    return folded
+
+
+def fold_head(variables: Mapping) -> List[Dict]:
+    """Extract the MLPHead dense stack as an ordered kernel+bias list."""
+    hp = variables["params"]["head"]
+    names = sorted(hp.keys(), key=lambda s: int(s.split("_")[-1]))
+    return [{"kernel": hp[n]["kernel"], "bias": hp[n]["bias"]} for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Integer primitives
+# ---------------------------------------------------------------------------
+
+
+def _quant_weight(kernel) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: kernel (..., O) -> ((K, O) int8,
+    (O,) f32 scales). Row order of the flattened kernel matches
+    ``_patches3x3`` (dh-major, dw, then input channel)."""
+    flat = jnp.asarray(kernel, jnp.float32).reshape(-1, kernel.shape[-1])
+    s = jnp.maximum(jnp.max(jnp.abs(flat), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(flat / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def _quant_act(x, s_x: float):
+    """Per-tensor symmetric int8 activation quantization (zero-point 0)."""
+    inv = np.float32(1.0 / s_x)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
+        jnp.int8
+    )
+
+
+def _int_dot(lhs_i8, rhs_i8):
+    return jax.lax.dot_general(
+        lhs_i8,
+        rhs_i8,
+        dimension_numbers=(((lhs_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _patches3x3(x, stride: int):
+    """SAME 3x3 im2col: (B,H,W,C) -> (B,H',W',9C), zero padded (exact for
+    symmetric quantization). Works for any dtype including int8.
+
+    Padding matches XLA SAME semantics exactly: stride 1 pads (1,1);
+    stride 2 on even extents pads (0,1) — the window for output ``o``
+    starts at input row ``2*o`` (pad_total = (ceil(H/2)-1)*2+3-H = 1,
+    pad_low = 0), NOT at ``2*o - 1``.
+    """
+    b, h, w, c = x.shape
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [
+            xp[:, dh : dh + h, dw : dw + w, :]
+            for dh in range(3)
+            for dw in range(3)
+        ]
+        return jnp.concatenate(taps, axis=-1)
+    assert stride == 2 and h % 2 == 0 and w % 2 == 0, (stride, h, w)
+    ho, wo = h // 2, w // 2
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    taps = [
+        xp[:, dh::2, dw::2, :][:, :ho, :wo, :]
+        for dh in range(3)
+        for dw in range(3)
+    ]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _qconv3x3(x, s_x: float, w_i8, s_w, stride: int, float_dtype):
+    """int8 3x3 SAME conv via im2col (center-tap matmul at 1x1 extent).
+
+    At 1x1 spatial extent the center tap is exact for ANY stride: SAME
+    padding is (1,1) there and the window covers only padding zeros plus
+    the center pixel (output extent is ceil(1/s) = 1 regardless).
+    """
+    xq = _quant_act(x, s_x)
+    scale = (s_w * np.float32(s_x)).astype(jnp.float32)
+    if x.shape[1] == 1 and x.shape[2] == 1:
+        c = x.shape[-1]
+        w_center = w_i8.reshape(9, c, -1)[4]
+        y = _int_dot(xq[:, 0, 0, :], w_center)
+        return (y.astype(jnp.float32) * scale)[:, None, None, :].astype(float_dtype)
+    p = _patches3x3(xq, stride)
+    b, h, w, k = p.shape
+    y = _int_dot(p.reshape(-1, k), w_i8).reshape(b, h, w, -1)
+    return (y.astype(jnp.float32) * scale).astype(float_dtype)
+
+
+def _qconv1x1(x, s_x: float, w_i8, s_w, stride: int, float_dtype):
+    xq = _quant_act(x, s_x)
+    if stride != 1:
+        xq = xq[:, ::stride, ::stride, :]
+    y = _int_dot(xq, w_i8)
+    scale = (s_w * np.float32(s_x)).astype(jnp.float32)
+    return (y.astype(jnp.float32) * scale).astype(float_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Float reference ops (also the calibration path)
+# ---------------------------------------------------------------------------
+
+
+def _conv_f(x, kernel, stride: int):
+    """Float 3x3 SAME conv with the center-tap collapse at 1x1 extent."""
+    kernel = kernel.astype(x.dtype)
+    if x.shape[1] == 1 and x.shape[2] == 1 and stride == 1 and kernel.shape[0] == 3:
+        y = x[:, 0, 0, :] @ kernel[1, 1]
+        return y[:, None, None, :]
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), "SAME", dimension_numbers=_DIMNUMS
+    )
+
+
+# ---------------------------------------------------------------------------
+# The single forward implementation (observe-mode / quantize-mode)
+# ---------------------------------------------------------------------------
+
+
+def _backbone_apply(
+    folded: Dict,
+    x,
+    scales: Optional[Dict[str, float]] = None,
+    qw: Optional[Dict] = None,
+    observed: Optional[Dict] = None,
+    float_dtype=jnp.float32,
+    group12_fn=None,
+):
+    """ImprovedBackbone inference forward over folded weights.
+
+    ``qw=None``: float forward (the calibration/reference path); pass
+    ``observed={}`` to collect per-site absmax. ``qw`` + ``scales``:
+    quantized forward. Graph parity: models/v6.ImprovedBackbone.
+
+    ``group12_fn`` (float serving path only): a fused replacement for the
+    layer1+SE1+layer2+SE2 subgraph — e.g. the Pallas mega-kernel
+    ``kernels.resnet_group.fused_group12`` — applied post-maxpool.
+    """
+    quant = qw is not None
+
+    def observe(site, t):
+        if observed is not None:
+            m = jnp.max(jnp.abs(t)).astype(jnp.float32)
+            observed[site] = (
+                jnp.maximum(observed[site], m) if site in observed else m
+            )
+
+    def conv3(site, wkey, xin, entry, stride):
+        observe(site, xin)
+        if quant:
+            y = _qconv3x3(
+                xin, scales[site], qw[wkey][0], qw[wkey][1], stride, float_dtype
+            )
+        else:
+            y = _conv_f(xin, entry["kernel"], stride)
+        return y + entry["bias"].astype(y.dtype)
+
+    def conv1(site, wkey, xin, entry, stride):
+        observe(site, xin)
+        if quant:
+            y = _qconv1x1(
+                xin, scales[site], qw[wkey][0], qw[wkey][1], stride, float_dtype
+            )
+        else:
+            kernel = entry["kernel"].astype(xin.dtype)
+            y = jax.lax.conv_general_dilated(
+                xin, kernel, (stride, stride), "SAME", dimension_numbers=_DIMNUMS
+            )
+        return y + entry["bias"].astype(y.dtype)
+
+    x = x.astype(float_dtype)
+    # Stem (float): 7x7/2 conv on 1 channel + folded-BN bias + relu + maxpool.
+    stem = folded["stem"]
+    x = jax.lax.conv_general_dilated(
+        x,
+        stem["kernel"].astype(float_dtype),
+        (2, 2),
+        [(3, 3), (3, 3)],
+        dimension_numbers=_DIMNUMS,
+    )
+    x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
+    x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    groups = list(enumerate(_GROUPS, start=1))
+    if group12_fn is not None and not quant and observed is None:
+        x = group12_fn(x)
+        groups = groups[2:]
+    for gi, gname in groups:
+        for bi in range(2):
+            n = f"{gname}_{bi}"
+            blk = folded[n]
+            stride = 2 if (gi > 1 and bi == 0) else 1
+            y = conv3(f"{n}.in", f"{n}.conv1", x, blk["conv1"], stride)
+            y = jnp.maximum(y, 0)
+            y = conv3(f"{n}.mid", f"{n}.conv2", y, blk["conv2"], 1)
+            if blk["downsample"] is not None:
+                res = conv1(f"{n}.in", f"{n}.ds", x, blk["downsample"], stride)
+            else:
+                res = x
+            x = jnp.maximum(y + res, 0)
+        se = folded[f"se{gi}"]
+        g = jnp.mean(x, axis=(1, 2))
+        g = jnp.maximum(g @ se["d0"].astype(g.dtype), 0)
+        g = jax.nn.sigmoid(g @ se["d1"].astype(g.dtype))
+        x = x * g[:, None, None, :]
+
+    # Spatial attention (float): 7x7 conv over [mean, max] channel maps.
+    sa_kernel = folded["spatial_attn"].astype(float_dtype)
+    avg_map = jnp.mean(x, axis=-1, keepdims=True)
+    max_map = jnp.max(x, axis=-1, keepdims=True)
+    a = jnp.concatenate([avg_map, max_map], axis=-1)
+    if x.shape[1] == 1 and x.shape[2] == 1:
+        attn = (a[:, 0, 0, :] @ sa_kernel[3, 3])[:, None, None, :]
+    else:
+        attn = jax.lax.conv_general_dilated(
+            a, sa_kernel, (1, 1), "SAME", dimension_numbers=_DIMNUMS
+        )
+    x = x * jax.nn.sigmoid(attn)
+    return jnp.mean(x, axis=(1, 2))
+
+
+def _head_apply(
+    head: List[Dict],
+    x,
+    scales: Optional[Dict[str, float]] = None,
+    qw: Optional[Dict] = None,
+    observed: Optional[Dict] = None,
+    float_dtype=jnp.float32,
+):
+    """MLPHead inference forward (Dense/relu stack; dropout is identity)."""
+    quant = qw is not None
+    x = x.astype(float_dtype)
+    for i, layer in enumerate(head):
+        site = f"head.{i}"
+        if observed is not None:
+            m = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            observed[site] = (
+                jnp.maximum(observed[site], m) if site in observed else m
+            )
+        if quant:
+            w_i8, s_w = qw[site]
+            s_x = scales[site]
+            xq = _quant_act(x, s_x)
+            scale = (s_w * np.float32(s_x)).astype(jnp.float32)
+            x = (_int_dot(xq, w_i8).astype(jnp.float32) * scale).astype(
+                float_dtype
+            ) + layer["bias"].astype(float_dtype)
+        else:
+            x = x @ layer["kernel"].astype(x.dtype) + layer["bias"].astype(x.dtype)
+        if i < len(head) - 1:
+            x = jnp.maximum(x, 0)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Quantized stage model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QuantStageModel:
+    """A BN-folded, int8-quantized v6 stage model: ``__call__(x) -> logits``
+    on already-normalized float images."""
+
+    folded: Dict
+    head: List[Dict]
+    scales: Dict[str, float]
+    qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+    float_dtype: Any = jnp.float32
+
+    def __call__(self, x):
+        feats = _backbone_apply(
+            self.folded, x, self.scales, self.qw, float_dtype=self.float_dtype
+        )
+        return _head_apply(
+            self.head, feats, self.scales, self.qw, float_dtype=self.float_dtype
+        )
+
+    def float_forward(self, x):
+        """The BN-folded float reference forward (same graph, no int8)."""
+        feats = _backbone_apply(self.folded, x, float_dtype=jnp.float32)
+        return _head_apply(self.head, feats, float_dtype=jnp.float32)
+
+
+def calibrate(folded: Dict, head: List[Dict], calib_x) -> Dict[str, float]:
+    """Run the folded float forward once, collecting per-site activation
+    scales (absmax/127) for every tensor the int8 graph will quantize."""
+
+    def run(x):
+        observed: Dict[str, jnp.ndarray] = {}
+        feats = _backbone_apply(folded, x, observed=observed)
+        _head_apply(head, feats, observed=observed)
+        return observed
+
+    observed = jax.jit(run)(calib_x)
+    return {k: max(float(v), 1e-6) / 127.0 for k, v in observed.items()}
+
+
+def quantize_stage(
+    variables: Mapping, calib_x, float_dtype=jnp.float32
+) -> QuantStageModel:
+    """Fold + calibrate + quantize one v6 stage model.
+
+    ``calib_x``: representative normalized float images (N,H,W,1).
+    """
+    folded = fold_backbone(variables)
+    head = fold_head(variables)
+    scales = calibrate(folded, head, calib_x)
+
+    qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    for gname in _GROUPS:
+        for bi in range(2):
+            n = f"{gname}_{bi}"
+            blk = folded[n]
+            qw[f"{n}.conv1"] = _quant_weight(blk["conv1"]["kernel"])
+            qw[f"{n}.conv2"] = _quant_weight(blk["conv2"]["kernel"])
+            if blk["downsample"] is not None:
+                qw[f"{n}.ds"] = _quant_weight(blk["downsample"]["kernel"])
+    for i, layer in enumerate(head):
+        qw[f"head.{i}"] = _quant_weight(layer["kernel"])
+    return QuantStageModel(folded, head, scales, qw, float_dtype=float_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 v6 pipeline
+# ---------------------------------------------------------------------------
+
+
+def make_v6_pipeline_int8(
+    models,
+    calib_images,
+    stage1_threshold: float = 0.45,
+    norm_scale: float = NORM_10BIT,
+    float_dtype=jnp.float32,
+    mesh=None,
+):
+    """int8 twin of :func:`av1tpu.eval.make_v6_pipeline`.
+
+    ``models``: a ``PipelineModels``; ``calib_images``: uint16 calibration
+    blocks (N,H,W,1) — a few hundred representative superblocks suffice.
+    Returns ``predict(images_u16) -> dict`` with the same output contract
+    and routing (``v6_route``) as the float pipeline.
+
+    The AB stage quantizes only when its variables follow the plain
+    backbone+MLPHead structure (``Stage3ABModel``); an FGVC AB model
+    (BN-projection + cosine classifier) stays float inside the same fused
+    graph — a mixed-precision pipeline, still one jit.
+    """
+    from av1tpu.eval.hierarchy import _jit_with_mesh, v6_route
+
+    calib_x = calib_images.astype(jnp.float32) / norm_scale
+    q1 = quantize_stage(models.stage1_vars, calib_x, float_dtype)
+    q2 = quantize_stage(models.stage2_vars, calib_x, float_dtype)
+    q3r = quantize_stage(models.stage3_rect_vars, calib_x, float_dtype)
+    try:
+        q3a = quantize_stage(models.stage3_ab_vars, calib_x, float_dtype)
+        ab_logits_fn = q3a
+    except KeyError:
+        ab_logits_fn = lambda x: models.stage3_ab.apply(  # noqa: E731
+            models.stage3_ab_vars, x, train=False
+        )
+
+    def predict(images) -> Dict[str, jnp.ndarray]:
+        x = images.astype(jnp.float32) / norm_scale
+        s1_logits = jnp.squeeze(q1(x), axis=-1)
+        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
+        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
+        s2_pred = jnp.argmax(q2(x), axis=-1).astype(jnp.int32)
+        rect_pred = jnp.argmax(q3r(x), axis=-1).astype(jnp.int32)
+        ab_pred = jnp.argmax(ab_logits_fn(x), axis=-1).astype(jnp.int32)
+        return {
+            "final": v6_route(s1_pred, s2_pred, rect_pred, ab_pred),
+            "stage1_prob": s1_prob,
+            "stage1_pred": s1_pred,
+            "stage2_pred": s2_pred,
+            "stage3_rect_pred": rect_pred,
+            "stage3_ab_pred": ab_pred,
+        }
+
+    return _jit_with_mesh(predict, mesh)
+
+
+__all__ = [
+    "QuantStageModel",
+    "calibrate",
+    "fold_backbone",
+    "fold_head",
+    "make_v6_pipeline_int8",
+    "quantize_stage",
+]

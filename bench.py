@@ -156,6 +156,39 @@ def bench_tpu() -> dict:
     )
     thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=20)
     results["gated_capacity_0.5"] = round(thr_gated, 1)
+
+    # BN-folded serving path with the Pallas layer-group mega-kernel
+    # (kernels/resnet_group.py): the measured bottleneck is HBM passes
+    # between the layer1/2 elementwise ops; the kernel runs all four basic
+    # blocks + both SE gates VMEM-resident.
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    predict_folded = make_v6_pipeline_folded(
+        models, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr_folded, fps_f, mfu_f = _time_predict(predict_folded, BATCH, 16)
+    results["folded_pallas"] = {
+        "throughput": round(thr_folded, 1),
+        "speedup_vs_flax": round(thr_folded / headline, 3),
+        "mfu": round(mfu_f, 4) if mfu_f else None,
+    }
+
+    # int8 PTQ serving path (av1tpu.quant): BN-folded, per-channel weight +
+    # calibrated activation scales; the int8 MXU peak is ~2x bf16 on v5e.
+    from av1tpu.quant import make_v6_pipeline_int8
+
+    calib = jnp.asarray(
+        np.random.default_rng(1).integers(0, 1024, size=(512, 16, 16, 1)),
+        dtype=jnp.uint16,
+    )
+    predict_q = make_v6_pipeline_int8(
+        models, calib, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr_q, fps_q, mfu_q = _time_predict(predict_q, BATCH, 16)
+    results["int8"] = {
+        "throughput": round(thr_q, 1),
+        "speedup_vs_bf16": round(thr_q / headline, 3),
+    }
     return results
 
 
@@ -243,6 +276,8 @@ def main() -> None:
                 ),
                 "per_block_px": results["per_block_px"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
+                "folded_pallas": results["folded_pallas"],
+                "int8": results["int8"],
             }
         )
     )

@@ -5,12 +5,25 @@
     run_pipeline_eval -> analyze_confusion
 
 Everything runs in-process via each CLI's main(argv) with synthetic data.
+
+The full training chains compile many distinct ResNet-18 train graphs —
+minutes each on a small CPU — so they are gated behind
+``AV1TPU_SLOW_TESTS=1`` (each is self-sufficient and runnable alone).
+The default suite still covers the ETL + dataset prep CLIs and the whole
+inference CLI surface (threshold sweep, pipeline eval, confusion
+analysis) via random-init checkpoints in ``test_eval_cli_fast``.
 """
 import json
+import os
 from pathlib import Path
 
 import numpy as np
 import pytest
+
+slow = pytest.mark.skipif(
+    os.environ.get("AV1TPU_SLOW_TESTS", "") in ("", "0"),
+    reason="heavy CLI training chain; set AV1TPU_SLOW_TESTS=1 to run",
+)
 
 from av1tpu.cli import (
     analyze_confusion,
@@ -79,6 +92,79 @@ def v6_dataset(workspace):
     return dataset
 
 
+def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
+    """Default-suite coverage of the inference CLI surface without any
+    training: random-init checkpoints drive optimize_thresholds,
+    run_pipeline_eval (v6, all report artifacts) and analyze_confusion."""
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.models import (
+        Stage1Model, Stage2Model, Stage3ABModel, Stage3RectModel,
+    )
+    from av1tpu.train.checkpoint import save_variables_npz
+    from av1tpu.utils.initialization import init_on_cpu
+
+    ckpts = tmp_path / "ckpts"
+    paths = {}
+    for name, cls, seed in (
+        ("stage1", Stage1Model, 1),
+        ("stage2", Stage2Model, 2),
+        ("rect", Stage3RectModel, 3),
+        ("ab", Stage3ABModel, 4),
+    ):
+        m = cls()
+        v = init_on_cpu(m, jax.random.PRNGKey(seed), jnp.zeros((2, 16, 16, 1)))
+        paths[name] = ckpts / f"{name}_variables.npz"
+        save_variables_npz(
+            paths[name],
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+        )
+
+    runs = tmp_path / "runs"
+    optimize_thresholds.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--stage1-checkpoint", str(paths["stage1"]),
+        "--output-dir", str(runs / "calib"),
+        "--batch-size", "32",
+    ])
+    assert "f1" in json.loads(
+        (runs / "calib" / "threshold_summary.json").read_text()
+    )
+
+    run_pipeline_eval.main([
+        "--variant", "v6",
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(runs / "pipeline"),
+        "--batch-size", "32", "--single-device", "--csv",
+        "--stage1-checkpoint", str(paths["stage1"]),
+        "--stage2-checkpoint", str(paths["stage2"]),
+        "--stage3-rect-checkpoint", str(paths["rect"]),
+        "--stage3-ab-checkpoint", str(paths["ab"]),
+        "--no-ab-fgvc",
+    ])
+    metrics = json.loads(
+        (runs / "pipeline" / "pipeline_metrics_val.json").read_text()
+    )
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+    assert metrics["throughput_superblocks_per_sec"] > 0
+    for artifact in (
+        "pipeline_predictions_val.npz",
+        "pipeline_report_val.txt",
+        "pipeline_predictions_val.csv",
+    ):
+        assert (runs / "pipeline" / artifact).exists()
+
+    analyze_confusion.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--stage2-checkpoint", str(paths["stage2"]),
+        "--output-dir", str(runs / "analysis"),
+        "--batch-size", "32",
+    ])
+    conf = json.loads((runs / "analysis" / "stage2_confusion.json").read_text())
+    assert len(conf["confusion_matrix"]) == 3
+
+
 @pytest.fixture(scope="module")
 def stage1_ckpt(workspace, v6_dataset):
     """One toy stage-1 training shared by the v6 and flatten chains."""
@@ -91,6 +177,7 @@ def stage1_ckpt(workspace, v6_dataset):
     return out / "stage1_best_variables.npz"
 
 
+@slow
 def test_full_cli_chain(workspace, v6_dataset, stage1_ckpt):
     work = workspace
     dataset = v6_dataset
@@ -176,6 +263,7 @@ def test_full_cli_chain(workspace, v6_dataset, stage1_ckpt):
     assert len(conf["confusion_matrix"]) == 3
 
 
+@slow
 def test_v5_cli_chain(workspace, tmp_path):
     """v5 variant: dataset prep -> v5 stage1 train -> v5 pipeline eval."""
     from av1tpu.cli import prepare_dataset, train_stage1, run_pipeline_eval
@@ -207,6 +295,7 @@ def test_v5_cli_chain(workspace, tmp_path):
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
 
 
+@slow
 def test_flatten_cli_chain(workspace, v6_dataset, stage1_ckpt, tmp_path):
     """flatten variant: dataset prep -> 7-way train -> flatten eval
     (shares the module's v6 dataset + stage-1 checkpoint fixtures)."""
@@ -240,6 +329,7 @@ def test_flatten_cli_chain(workspace, v6_dataset, stage1_ckpt, tmp_path):
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
 
 
+@slow
 def test_predict_trees_cli(tmp_path):
     """predict_trees: whole-frame partition-tree prediction end to end."""
     import jax
@@ -289,6 +379,7 @@ def test_predict_trees_cli(tmp_path):
     assert stats["0"]["superblocks"] == 2
 
 
+@slow
 def test_ab_ensemble_train_and_eval(workspace, v6_dataset, stage1_ckpt, tmp_path):
     """--ensemble N trains members on the shuffled train_vN sets and writes
     the save_ensemble layout that --stage3-ab-ensemble-dir consumes."""

@@ -1,0 +1,197 @@
+"""int8 PTQ tests: BN-fold parity, quantization error bounds, pipeline
+contract. All on the CPU backend (int8 dot_general works identically)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from av1tpu.eval import PipelineModels, make_v6_pipeline
+from av1tpu.eval.hierarchy import v6_route
+from av1tpu.models import (
+    Stage1Model,
+    Stage2Model,
+    Stage3ABModel,
+    Stage3RectModel,
+)
+from av1tpu.quant import make_v6_pipeline_int8, quantize_stage
+from av1tpu.quant.ptq import _backbone_apply, _head_apply, fold_backbone, fold_head
+from av1tpu.utils.initialization import init_on_cpu
+
+
+@pytest.fixture(scope="module")
+def stage1():
+    model = Stage1Model()
+    variables = init_on_cpu(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 1024, size=(32, 16, 16, 1), dtype=np.uint16)
+
+
+def test_fold_matches_apply(stage1, images):
+    """BN folding + the functional forward reproduce model.apply exactly
+    (inference mode), including SE, spatial attention, GAP and the head."""
+    model, variables = stage1
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    want = model.apply(variables, x, train=False)
+
+    folded = fold_backbone(variables)
+    head = fold_head(variables)
+
+    @jax.jit
+    def folded_forward(x):
+        return jnp.squeeze(_head_apply(head, _backbone_apply(folded, x)), -1)
+
+    got = folded_forward(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3)
+
+
+def test_int8_close_to_float(stage1, images):
+    """Per-channel weight + calibrated per-tensor activation int8 keeps the
+    stage-1 logits close to the float forward."""
+    _, variables = stage1
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_stage(variables, x[:16])
+
+    logits_f = np.asarray(jnp.squeeze(q.float_forward(x), -1))
+    logits_q = np.asarray(jnp.squeeze(jax.jit(lambda t: q(t))(x), -1))
+
+    scale = max(np.abs(logits_f).max(), 0.1)
+    mae = np.abs(logits_q - logits_f).mean()
+    assert mae < 0.08 * scale, (mae, scale)
+    # probabilities stay within a few points
+    prob_err = np.abs(
+        1 / (1 + np.exp(-logits_q)) - 1 / (1 + np.exp(-logits_f))
+    ).max()
+    assert prob_err < 0.06, prob_err
+
+
+def test_int8_pipeline_contract(images):
+    """The int8 pipeline honors the float pipeline's output contract: same
+    keys/shapes, valid label range, routing == v6_route of its own stage
+    predictions, and stage-1 probabilities near the float pipeline's."""
+    sample = jnp.zeros((2, 16, 16, 1), jnp.float32)
+
+    def build(cls, seed):
+        m = cls()
+        return m, init_on_cpu(m, jax.random.PRNGKey(seed), sample)
+
+    s1, s1v = build(Stage1Model, 1)
+    s2, s2v = build(Stage2Model, 2)
+    s3r, s3rv = build(Stage3RectModel, 3)
+    s3a, s3av = build(Stage3ABModel, 4)
+    models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+
+    predict_f = make_v6_pipeline(models, stage1_threshold=0.45)
+    predict_q = make_v6_pipeline_int8(
+        models, images[:16], stage1_threshold=0.45
+    )
+
+    out_f = {k: np.asarray(v) for k, v in predict_f(images).items()}
+    out_q = {k: np.asarray(v) for k, v in predict_q(images).items()}
+
+    assert set(out_q) == set(out_f)
+    for k in out_f:
+        assert out_q[k].shape == out_f[k].shape, k
+    assert set(np.unique(out_q["final"])) <= set(range(8))
+    np.testing.assert_array_equal(
+        out_q["final"],
+        np.asarray(
+            v6_route(
+                jnp.asarray(out_q["stage1_pred"]),
+                jnp.asarray(out_q["stage2_pred"]),
+                jnp.asarray(out_q["stage3_rect_pred"]),
+                jnp.asarray(out_q["stage3_ab_pred"]),
+            )
+        ),
+    )
+    assert np.abs(out_q["stage1_prob"] - out_f["stage1_prob"]).mean() < 0.05
+
+
+def test_fused_group12_matches_reference(stage1, images):
+    """The Pallas layer1+SE1+layer2+SE2 mega-kernel (interpret mode on CPU)
+    reproduces the folded float forward bit-for-bit at f32."""
+    from av1tpu.kernels import fused_group12, pack_group12_weights
+
+    _, variables = stage1
+    folded = fold_backbone(variables)
+    weights = pack_group12_weights(folded)
+
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+
+    def reference(x):
+        return _backbone_apply(folded, x)
+
+    def fast(x):
+        return _backbone_apply(
+            folded,
+            x,
+            group12_fn=lambda t: fused_group12(t, weights, interpret=True),
+        )
+
+    want = jax.jit(reference)(x)
+    got = jax.jit(fast)(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_folded_pipeline_matches_flax(stage1, images):
+    """make_v6_pipeline_folded (pallas groups, f32) agrees with the plain
+    flax pipeline on every output."""
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    model, variables = stage1
+    # reuse the stage-1 tree for all four slots: structure is what matters
+    s2 = Stage2Model()
+    s2v = init_on_cpu(
+        s2, jax.random.PRNGKey(12), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    s3r = Stage3RectModel()
+    s3rv = init_on_cpu(
+        s3r, jax.random.PRNGKey(13), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    s3a = Stage3ABModel()
+    s3av = init_on_cpu(
+        s3a, jax.random.PRNGKey(14), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    models = PipelineModels(model, variables, s2, s2v, s3r, s3rv, s3a, s3av)
+
+    predict_flax = make_v6_pipeline(models, stage1_threshold=0.45)
+    predict_folded = make_v6_pipeline_folded(
+        models,
+        stage1_threshold=0.45,
+        float_dtype=jnp.float32,
+        interpret=True,
+    )
+    out_flax = {k: np.asarray(v) for k, v in predict_flax(images).items()}
+    out_folded = {k: np.asarray(v) for k, v in predict_folded(images).items()}
+    np.testing.assert_allclose(
+        out_folded["stage1_prob"], out_flax["stage1_prob"], atol=1e-4
+    )
+    for key in ("stage2_pred", "stage3_rect_pred", "final"):
+        same = (out_folded[key] == out_flax[key]).mean()
+        assert same >= 0.95, (key, same)
+
+    # mesh path: shard_map over the data axis == single-device (2 devices:
+    # the shard_map plumbing is device-count-invariant, compile is not)
+    from av1tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+    predict_sharded = make_v6_pipeline_folded(
+        models,
+        stage1_threshold=0.45,
+        float_dtype=jnp.float32,
+        interpret=True,
+        mesh=mesh,
+    )
+    out_sharded = {k: np.asarray(v) for k, v in predict_sharded(images).items()}
+    for key in out_folded:
+        np.testing.assert_allclose(
+            out_sharded[key], out_folded[key], atol=1e-5, err_msg=key
+        )

@@ -163,10 +163,15 @@ def v6_images():
 
 
 def test_sharded_v6_pipeline_bit_identical(v6_models, v6_images):
-    """Mesh-sharded fused inference == single-device, bitwise on finals."""
+    """Mesh-sharded fused inference == single-device, bitwise on finals.
+
+    2-device mesh: GSPMD partitioning of the four ResNet graphs is what's
+    under test and it's device-count-invariant; an 8-way CPU compile of
+    this graph costs ~5 minutes for no extra coverage (the 8-way path runs
+    in the driver dryrun and the stub-model tests)."""
     from av1tpu.eval import make_v6_pipeline, run_pipeline_batched
 
-    mesh = make_mesh()
+    mesh = make_mesh(num_data=2, devices=jax.devices()[:2])
     single = make_v6_pipeline(v6_models, stage1_threshold=0.45)
     sharded = make_v6_pipeline(v6_models, stage1_threshold=0.45, mesh=mesh)
 
@@ -201,7 +206,7 @@ def test_sharded_gated_pipeline(v6_models, v6_images):
     from av1tpu.eval import make_v6_pipeline
     from av1tpu.eval.gated import make_v6_pipeline_gated
 
-    mesh = make_mesh()
+    mesh = make_mesh(num_data=2, devices=jax.devices()[:2])
     dense = make_v6_pipeline(v6_models, stage1_threshold=0.45)
     gated = make_v6_pipeline_gated(
         v6_models, capacity=1.0, stage1_threshold=0.45, mesh=mesh
