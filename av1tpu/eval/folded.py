@@ -1,13 +1,20 @@
-"""BN-folded serving pipeline with the Pallas layer-group mega-kernel.
+"""BN-folded serving pipeline — the fastest measured single-chip path.
 
 The float twin of the int8 path (``av1tpu.quant``): every stage backbone's
-conv+BN pairs fold into conv+bias (``fold_backbone``), and the
-HBM-bound layer1+SE1+layer2+SE2 subgraph runs as ONE ``pallas_call``
-(``kernels.resnet_group.fused_group12``) that keeps all intermediates in
-VMEM — addressing the measured bottleneck in docs/PARITY.md ("~95% of
-layer-group time is elementwise/HBM", ~24 HBM passes collapsed to 2).
-Layer3/4 run at 1x1 spatial extent where activations are tiny; they stay
-on the XLA path (center-tap matmuls).
+conv+BN pairs fold into conv+bias (``fold_backbone``), so the BN affine
+and its batch_stats loads vanish from the serving graph. Measured on the
+v5e (batch 8192, bf16): **2.24M superblocks/s, 40.3% MFU — 1.088x the
+flax graph** (2.06M) — which makes this the headline formulation in
+``bench.py``.
+
+``use_pallas_groups=True`` additionally runs the layer1+SE1+layer2+SE2
+subgraph as ONE ``pallas_call`` (``kernels.resnet_group.fused_group12``)
+with every intermediate VMEM-resident. That was the round-2 bet for the
+HBM-bound layer groups and it LOST — 93k sb/s, 22x slower than XLA
+(measured 2026-08-17): at (tile,4,4,64) the Mosaic vector layouts waste
+3/4 of each vreg (4 of 8 sublanes, 64 of 128 lanes) and every
+reshape/pad between the 9-tap matmuls is a sublane shuffle, so the
+kernel is relayout-bound. Kept as an opt-in negative result; default off.
 
 Output contract and routing are identical to ``make_v6_pipeline``
 (``008_run_pipeline_eval_v6.py:69-127`` semantics via ``v6_route``).
@@ -55,17 +62,17 @@ def make_v6_pipeline_folded(
     stage1_threshold: float = 0.45,
     norm_scale: float = NORM_10BIT,
     float_dtype=jnp.bfloat16,
-    use_pallas_groups: bool = True,
+    use_pallas_groups: bool = False,
     interpret: bool = False,
     mesh=None,
 ):
-    """Fused v6 pipeline over BN-folded weights + the Pallas group kernel.
+    """Fused v6 pipeline over BN-folded weights (fastest serving path).
 
     ``models``: a ``PipelineModels``. An FGVC AB stage (different head
     structure) falls back to its flax ``apply`` inside the same graph.
-    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
-    tests). Batch size should be a multiple of the kernel tile (the
-    kernel degrades the tile to the largest divisor otherwise).
+    ``use_pallas_groups`` swaps in the layer-group mega-kernel — measured
+    22x SLOWER on the v5e (see module docstring); off by default.
+    ``interpret=True`` runs that kernel in interpreter mode (CPU tests).
     """
     f1 = _folded_stage_fn(
         models.stage1_vars, float_dtype, use_pallas_groups, interpret

@@ -35,6 +35,7 @@ def make_v6_pipeline_gated(
     stage1_threshold: float = 0.45,
     norm_scale: float = NORM_10BIT,
     input_dtype=jnp.float32,
+    folded: bool = False,
     mesh=None,
 ):
     """Build the capacity-gated fused pipeline.
@@ -43,9 +44,44 @@ def make_v6_pipeline_gated(
     pipeline plus ``overflow`` (number of gate-passing samples beyond
     capacity that fell back to SPLIT). With ``mesh`` the batch shards over
     the data axis; the top-K select/scatter become GSPMD collectives.
+    ``folded`` composes the gate with the BN-folded stage forwards
+    (``eval.folded`` — the measured-fastest dense formulation); an FGVC AB
+    stage falls back to its flax apply.
     """
     if not 0.0 < capacity <= 1.0:
         raise ValueError("capacity must be in (0, 1]")
+
+    if folded:
+        from av1tpu.eval.folded import _folded_stage_fn
+
+        f1 = _folded_stage_fn(models.stage1_vars, input_dtype, False, False)
+        f2 = _folded_stage_fn(models.stage2_vars, input_dtype, False, False)
+        f3r = _folded_stage_fn(
+            models.stage3_rect_vars, input_dtype, False, False
+        )
+        try:
+            f3a = _folded_stage_fn(
+                models.stage3_ab_vars, input_dtype, False, False
+            )
+        except KeyError:
+            f3a = lambda x: models.stage3_ab.apply(  # noqa: E731
+                models.stage3_ab_vars, x, train=False
+            )
+        stage1_fn = lambda x: jnp.squeeze(f1(x), axis=-1)  # noqa: E731
+        stage2_fn, rect_fn, ab_fn = f2, f3r, f3a
+    else:
+        stage1_fn = lambda x: models.stage1.apply(  # noqa: E731
+            models.stage1_vars, x, train=False
+        )
+        stage2_fn = lambda x: models.stage2.apply(  # noqa: E731
+            models.stage2_vars, x, train=False
+        )
+        rect_fn = lambda x: models.stage3_rect.apply(  # noqa: E731
+            models.stage3_rect_vars, x, train=False
+        )
+        ab_fn = lambda x: models.stage3_ab.apply(  # noqa: E731
+            models.stage3_ab_vars, x, train=False
+        )
     if mesh is not None:
         from av1tpu.eval.hierarchy import _replicate_tree
 
@@ -62,7 +98,7 @@ def make_v6_pipeline_gated(
         x = images.astype(jnp.float32) / norm_scale
         x = x.astype(input_dtype)
 
-        s1_logits = models.stage1.apply(models.stage1_vars, x, train=False)
+        s1_logits = stage1_fn(x)
         s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
         s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
 
@@ -71,17 +107,9 @@ def make_v6_pipeline_gated(
         topk_idx = order[:k]
         x_sel = x[topk_idx]
 
-        s2_pred_k = jnp.argmax(
-            models.stage2.apply(models.stage2_vars, x_sel, train=False), axis=-1
-        ).astype(jnp.int32)
-        rect_pred_k = jnp.argmax(
-            models.stage3_rect.apply(models.stage3_rect_vars, x_sel, train=False),
-            axis=-1,
-        ).astype(jnp.int32)
-        ab_pred_k = jnp.argmax(
-            models.stage3_ab.apply(models.stage3_ab_vars, x_sel, train=False),
-            axis=-1,
-        ).astype(jnp.int32)
+        s2_pred_k = jnp.argmax(stage2_fn(x_sel), axis=-1).astype(jnp.int32)
+        rect_pred_k = jnp.argmax(rect_fn(x_sel), axis=-1).astype(jnp.int32)
+        ab_pred_k = jnp.argmax(ab_fn(x_sel), axis=-1).astype(jnp.int32)
 
         final_k = jnp.where(
             s2_pred_k == 0,

@@ -116,12 +116,24 @@ def _block_s1(x, k1, b1, k2, b2):
     return jnp.maximum(y + x, 0.0)
 
 
+def _even_positions(x):
+    """x[:, ::2, ::2, :] without strided slicing — Mosaic lowers multi-dim
+    strided slices to an unsupported gather, so select even rows/cols via
+    reshape + unit-stride slice + reshape instead."""
+    t, h, w, c = x.shape
+    xr = x.reshape(t, h // 2, 2, w // 2, 2, c)
+    xr = jax.lax.slice(
+        xr, (0, 0, 0, 0, 0, 0), (t, h // 2, 1, w // 2, 1, c)
+    )
+    return xr.reshape(t, h // 2, w // 2, c)
+
+
 def _block_s2(x, k1, b1, k2, b2, dsk, dsb):
     y = jnp.maximum(_conv3x3_s2(x, k1, b1), 0.0)
     y = _conv3x3_s1(y, k2, b2)
     # 1x1 stride-2 downsample: SAME pad_total=0, taps at even positions
     res = jnp.dot(
-        x[:, ::2, ::2, :], dsk, preferred_element_type=jnp.float32
+        _even_positions(x), dsk, preferred_element_type=jnp.float32
     ) + dsb
     return jnp.maximum(y + res, 0.0)
 
@@ -157,13 +169,14 @@ def fused_group12(
     pallas_call, batch-tiled so all intermediates stay in VMEM.
 
     ``weights``: output of :func:`pack_group12_weights` (bf16 or f32).
-    ``tile``: batch tile size; default sized so f32 intermediates fit VMEM
-    (~4096 pixels per tile). B must be a multiple of the tile (callers pad).
+    ``tile``: batch tile size; default sized so f32 intermediates fit the
+    16M scoped-VMEM stack (measured: tile 256 on 4x4 inputs OOMs at 23.6M,
+    tile 128 fits). B must be a multiple of the tile (callers pad).
     """
     b, h, w, c = x.shape
     assert c == weights[0].shape[2], "expected 64-channel group-1 input"
     if tile is None:
-        tile = max(8, 4096 // (h * w))
+        tile = max(8, 2048 // (h * w))
     while b % tile:
         tile //= 2
     assert tile >= 1

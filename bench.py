@@ -33,6 +33,16 @@ BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 V5E_BF16_PEAK_FLOPS = 197e12  # single v5e chip, bf16 MXU
 
 
+def _progress(msg: str) -> None:
+    """Section timing to stderr (stdout stays one JSON line): compiles over
+    the tethered chip take minutes each, so a silent run looks hung."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def _build_models(dtype):
     import jax
     import jax.numpy as jnp
@@ -98,15 +108,16 @@ def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
 
 
 def bench_tpu() -> dict:
-    """Headline: dense fused stage1-3 inference on 16px blocks, plus the
-    other block sizes and the capacity-gated serving variant.
+    """Headline: dense fused stage1-3 inference on 16px blocks via the
+    BN-FOLDED serving graph (eval.folded — measured fastest formulation,
+    1.088x the flax graph), plus the other block sizes and the
+    capacity-gated serving variant.
 
-    Design note (measured 2026-08-16, v5e): the dense graph of four
-    separate fused forwards is the fastest known formulation — the vmapped
-    stacked-backbone variant lowers to batch-group convs that run 7-14%
-    slower, so ``stacked=False`` here. ~39% MFU; the per-layer breakdown
-    (docs/PARITY.md) attributes the gap mostly to 64-channel layer1 convs
-    (half the MXU lanes idle) and the ~0.7 ms/dispatch tunnel floor.
+    Formulations measured and rejected (docs/PARITY.md "performance
+    anatomy"): vmapped stacked backbones (7-14% slower), the Pallas
+    layer-group mega-kernel (22x slower — relayout-bound at 4x4 spatial),
+    int8 PTQ (0.77x — dequant epilogues on an elementwise-bound graph),
+    grouped/shared-input conv packing (neutral to 1.8x slower).
     """
     import jax
 
@@ -128,67 +139,52 @@ def bench_tpu() -> dict:
     dtype = jnp.bfloat16
     models = _build_models(dtype)
 
-    predict = make_v6_pipeline(
-        models, stage1_threshold=0.45, input_dtype=dtype
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    _progress("compiling + timing headline BN-folded dense pipeline (16px)")
+    predict = make_v6_pipeline_folded(
+        models, stage1_threshold=0.45, float_dtype=dtype
     )
     headline, flops_per_sample, mfu = _time_predict(predict, BATCH, 16)
+    _progress(f"headline done: {headline:,.0f} sb/s")
+
+    _progress("flax (unfolded) graph for comparison")
+    predict_flax = make_v6_pipeline(
+        models, stage1_threshold=0.45, input_dtype=dtype
+    )
+    thr_flax, _, _ = _time_predict(predict_flax, BATCH, 16, iters=20)
 
     results = {
         "throughput": headline,
         "flops_per_sample": flops_per_sample,
         "mfu": mfu,
+        "flax_graph": round(thr_flax, 1),
         "per_block_px": {},
     }
     # the other three levels of the partition hierarchy (same four models,
     # larger inputs -> more conv FLOPs/sample); fewer iters: these are
     # secondary figures
     for px, batch in ((8, BATCH), (32, 2048), (64, 512)):
+        _progress(f"block size {px}px")
         thr, fps, m = _time_predict(
-            make_v6_pipeline(models, stage1_threshold=0.45, input_dtype=dtype),
+            make_v6_pipeline_folded(
+                models, stage1_threshold=0.45, float_dtype=dtype
+            ),
             batch, px, iters=20,
         )
         results["per_block_px"][px] = {
             "throughput": round(thr, 1),
             "mfu": round(m, 4) if m else None,
         }
+    _progress("gated capacity 0.5 (folded)")
     gated = make_v6_pipeline_gated(
-        models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype
+        models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype,
+        folded=True,
     )
     thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=20)
     results["gated_capacity_0.5"] = round(thr_gated, 1)
 
-    # BN-folded serving path with the Pallas layer-group mega-kernel
-    # (kernels/resnet_group.py): the measured bottleneck is HBM passes
-    # between the layer1/2 elementwise ops; the kernel runs all four basic
-    # blocks + both SE gates VMEM-resident.
-    from av1tpu.eval import make_v6_pipeline_folded
-
-    predict_folded = make_v6_pipeline_folded(
-        models, stage1_threshold=0.45, float_dtype=dtype
-    )
-    thr_folded, fps_f, mfu_f = _time_predict(predict_folded, BATCH, 16)
-    results["folded_pallas"] = {
-        "throughput": round(thr_folded, 1),
-        "speedup_vs_flax": round(thr_folded / headline, 3),
-        "mfu": round(mfu_f, 4) if mfu_f else None,
-    }
-
-    # int8 PTQ serving path (av1tpu.quant): BN-folded, per-channel weight +
-    # calibrated activation scales; the int8 MXU peak is ~2x bf16 on v5e.
-    from av1tpu.quant import make_v6_pipeline_int8
-
-    calib = jnp.asarray(
-        np.random.default_rng(1).integers(0, 1024, size=(512, 16, 16, 1)),
-        dtype=jnp.uint16,
-    )
-    predict_q = make_v6_pipeline_int8(
-        models, calib, stage1_threshold=0.45, float_dtype=dtype
-    )
-    thr_q, fps_q, mfu_q = _time_predict(predict_q, BATCH, 16)
-    results["int8"] = {
-        "throughput": round(thr_q, 1),
-        "speedup_vs_bf16": round(thr_q / headline, 3),
-    }
+    _progress("device sections done")
     return results
 
 
@@ -276,8 +272,7 @@ def main() -> None:
                 ),
                 "per_block_px": results["per_block_px"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
-                "folded_pallas": results["folded_pallas"],
-                "int8": results["int8"],
+                "flax_graph": results["flax_graph"],
             }
         )
     )

@@ -33,6 +33,21 @@ def images():
     return rng.integers(0, 1024, size=(32, 16, 16, 1), dtype=np.uint16)
 
 
+@pytest.fixture(scope="module")
+def v6_models(stage1):
+    """A full real-architecture PipelineModels (stage-1 fixture + fresh
+    stage-2/3 inits)."""
+    model, variables = stage1
+    sample = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    s2 = Stage2Model()
+    s2v = init_on_cpu(s2, jax.random.PRNGKey(12), sample)
+    s3r = Stage3RectModel()
+    s3rv = init_on_cpu(s3r, jax.random.PRNGKey(13), sample)
+    s3a = Stage3ABModel()
+    s3av = init_on_cpu(s3a, jax.random.PRNGKey(14), sample)
+    return PipelineModels(model, variables, s2, s2v, s3r, s3rv, s3a, s3av)
+
+
 def test_fold_matches_apply(stage1, images):
     """BN folding + the functional forward reproduce model.apply exactly
     (inference mode), including SE, spatial attention, GAP and the head."""
@@ -141,32 +156,20 @@ def test_fused_group12_matches_reference(stage1, images):
     )
 
 
-def test_folded_pipeline_matches_flax(stage1, images):
-    """make_v6_pipeline_folded (pallas groups, f32) agrees with the plain
-    flax pipeline on every output."""
+@pytest.mark.parametrize("use_pallas_groups", [False, True])
+def test_folded_pipeline_matches_flax(v6_models, images, use_pallas_groups):
+    """make_v6_pipeline_folded agrees with the plain flax pipeline on
+    every output — both the default XLA path and the opt-in Pallas
+    layer-group kernel (interpret mode on CPU)."""
     from av1tpu.eval import make_v6_pipeline_folded
 
-    model, variables = stage1
-    # reuse the stage-1 tree for all four slots: structure is what matters
-    s2 = Stage2Model()
-    s2v = init_on_cpu(
-        s2, jax.random.PRNGKey(12), jnp.zeros((2, 16, 16, 1), jnp.float32)
-    )
-    s3r = Stage3RectModel()
-    s3rv = init_on_cpu(
-        s3r, jax.random.PRNGKey(13), jnp.zeros((2, 16, 16, 1), jnp.float32)
-    )
-    s3a = Stage3ABModel()
-    s3av = init_on_cpu(
-        s3a, jax.random.PRNGKey(14), jnp.zeros((2, 16, 16, 1), jnp.float32)
-    )
-    models = PipelineModels(model, variables, s2, s2v, s3r, s3rv, s3a, s3av)
-
+    models = v6_models
     predict_flax = make_v6_pipeline(models, stage1_threshold=0.45)
     predict_folded = make_v6_pipeline_folded(
         models,
         stage1_threshold=0.45,
         float_dtype=jnp.float32,
+        use_pallas_groups=use_pallas_groups,
         interpret=True,
     )
     out_flax = {k: np.asarray(v) for k, v in predict_flax(images).items()}
@@ -187,6 +190,7 @@ def test_folded_pipeline_matches_flax(stage1, images):
         models,
         stage1_threshold=0.45,
         float_dtype=jnp.float32,
+        use_pallas_groups=use_pallas_groups,
         interpret=True,
         mesh=mesh,
     )
@@ -195,3 +199,26 @@ def test_folded_pipeline_matches_flax(stage1, images):
         np.testing.assert_allclose(
             out_sharded[key], out_folded[key], atol=1e-5, err_msg=key
         )
+
+
+def test_gated_folded_matches_dense_folded(v6_models, images):
+    """gated(folded=True, capacity=1.0) is bit-identical to the dense
+    folded pipeline (same folded math per sample; top-K at full capacity
+    is a permutation + scatter-back), and reports zero overflow."""
+    from av1tpu.eval import make_v6_pipeline_folded
+    from av1tpu.eval.gated import make_v6_pipeline_gated
+
+    dense = make_v6_pipeline_folded(
+        v6_models, stage1_threshold=0.45, float_dtype=jnp.float32
+    )
+    gated = make_v6_pipeline_gated(
+        v6_models, capacity=1.0, stage1_threshold=0.45,
+        input_dtype=jnp.float32, folded=True,
+    )
+    want = {k: np.asarray(v) for k, v in dense(jnp.asarray(images)).items()}
+    got = {k: np.asarray(v) for k, v in gated(jnp.asarray(images)).items()}
+    np.testing.assert_array_equal(got["final"], want["final"])
+    np.testing.assert_allclose(
+        got["stage1_prob"], want["stage1_prob"], atol=1e-6
+    )
+    assert int(got["overflow"]) == 0
