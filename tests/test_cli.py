@@ -164,6 +164,20 @@ def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
     conf = json.loads((runs / "analysis" / "stage2_confusion.json").read_text())
     assert len(conf["confusion_matrix"]) == 3
 
+    # the notebook-replacement report over the artifacts just produced
+    from av1tpu.cli import analysis_report
+
+    report_path = runs / "report.html"
+    analysis_report.main([
+        "--eval-dir", f"v6={runs / 'pipeline'}",
+        "--threshold-sweep", str(runs / "calib"),
+        "--output", str(report_path),
+    ])
+    text = report_path.read_text()
+    assert "Pipeline runs" in text and "threshold sweep" in text
+    assert "cascade error" in text
+    assert text.count("data:image/png;base64,") >= 3  # confusion+cascade+sweep
+
 
 @pytest.fixture(scope="module")
 def stage1_ckpt(workspace, v6_dataset):
