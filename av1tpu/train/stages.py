@@ -21,6 +21,7 @@ Reference scripts covered (pesquisa_v6/scripts unless noted):
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field, replace
 from pathlib import Path
@@ -66,10 +67,21 @@ from av1tpu.train.trainer import (
     EpochResult,
     StepConfig,
     TrainState,
+    make_epoch_fn,
     make_eval_step,
     make_train_step,
     run_eval,
     run_train_epoch,
+    run_train_epoch_resident,
+)
+
+# Device-resident training (one lax.scan dispatch per epoch) engages
+# automatically below this dataset size; above it — or with
+# AV1TPU_STREAM_DATA=1, a mesh, or multiple hosts — the streaming
+# per-batch path runs instead. 4 GiB leaves generous HBM headroom on a
+# 16 GiB chip next to model/optimizer state.
+_RESIDENT_MAX_BYTES = int(
+    os.environ.get("AV1TPU_RESIDENT_MAX_BYTES", 4 * 1024**3)
 )
 
 
@@ -238,6 +250,19 @@ def train_stage(
     val_arrays = _bundle_arrays(val_bundle, recipe.label_key, recipe.use_qp)
     balance_labels = arrays[recipe.label_key] if recipe.balance else None
 
+    resident = (
+        mesh is None
+        and jax.process_count() == 1
+        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
+        and sum(a.nbytes for a in arrays.values()) <= _RESIDENT_MAX_BYTES
+    )
+    device_arrays = (
+        {k: jnp.asarray(v) for k, v in arrays.items()} if resident else None
+    )
+    if resident:
+        log(f"[{recipe.name}] device-resident data "
+            f"({sum(a.nbytes for a in arrays.values()) / 2**20:.0f} MiB)")
+
     cfg = StepConfig(
         loss_fn=recipe.loss_fn,
         label_key=recipe.label_key,
@@ -297,7 +322,10 @@ def train_stage(
                 opt_state=optimizer.init(state.params),
             )
         resume_state = None
-        train_step = make_train_step(model, optimizer, cfg)
+        if resident:
+            epoch_fn = make_epoch_fn(model, optimizer, cfg)
+        else:
+            train_step = make_train_step(model, optimizer, cfg)
         log(f"[{recipe.name}] phase '{phase.name}': {phase.epochs} epochs")
 
         for _ in range(phase.epochs):
@@ -307,11 +335,20 @@ def train_stage(
             # position-independent per-epoch key: identical whether or not
             # earlier epochs executed in this process (resume invariance)
             epoch_key = jax.random.fold_in(train_key, epoch_global)
-            state, tr = run_train_epoch(
-                train_step, state, arrays, recipe.batch_size, epoch_key,
-                epoch_seed=seed + epoch_global, num_classes=recipe.num_classes,
-                balance_labels=balance_labels, mesh=mesh,
-            )
+            if resident:
+                state, tr = run_train_epoch_resident(
+                    epoch_fn, state, device_arrays, recipe.batch_size,
+                    epoch_key, epoch_seed=seed + epoch_global,
+                    num_classes=recipe.num_classes,
+                    balance_labels=balance_labels,
+                )
+            else:
+                state, tr = run_train_epoch(
+                    train_step, state, arrays, recipe.batch_size, epoch_key,
+                    epoch_seed=seed + epoch_global,
+                    num_classes=recipe.num_classes,
+                    balance_labels=balance_labels, mesh=mesh,
+                )
             ev = run_eval(
                 eval_step, state, val_arrays, recipe.batch_size,
                 recipe.num_classes, mesh=mesh,

@@ -96,8 +96,11 @@ def confusion_matrix(labels, preds, num_classes: int):
     return lab_oh.T @ pred_oh
 
 
-def make_train_step(model, optimizer, cfg: StepConfig):
-    """Build the fused train step: (state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
+    """Build the fused train step: (state, batch, rng) -> (state, metrics).
+
+    ``jit=False`` returns the raw traced-once body — for embedding in a
+    larger jitted program (the device-resident epoch scan)."""
 
     def loss_and_metrics(params, batch_stats, batch, rng):
         aug_key, dropout_key = jax.random.split(rng)
@@ -127,7 +130,6 @@ def make_train_step(model, optimizer, cfg: StepConfig):
         conf = confusion_matrix(labels, preds, cfg.num_classes)
         return loss, (mutated["batch_stats"], conf)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         (loss, (new_stats, conf)), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True
@@ -142,7 +144,58 @@ def make_train_step(model, optimizer, cfg: StepConfig):
         )
         return new_state, {"loss": loss, "confusion": conf}
 
+    if jit:
+        return partial(jax.jit, donate_argnums=(0,))(train_step)
     return train_step
+
+
+def make_epoch_fn(model, optimizer, cfg: StepConfig):
+    """Build the device-resident epoch program: ONE dispatch per epoch.
+
+    The streaming path (``run_train_epoch``) gathers every batch on the
+    host and ships it to the device per step — on a tethered chip that
+    link, not the train step, bounds throughput (measured: the fused
+    stage-1 step runs 1.37M samples/s at batch 8192 while the streamed
+    epoch path delivers ~28k). These datasets are small (reference-scale
+    stage-1: ~80 MB of uint16), so the TPU-native formulation keeps the
+    whole dataset in HBM and runs the epoch as one jitted ``lax.scan``
+    whose body gathers its batch with ``jnp.take``: zero per-step
+    dispatches, zero per-step transfers.
+
+    Returns ``run(state, device_arrays, idx_mat, rng_key) ->
+    (state, loss_sum, conf_sum)`` where ``idx_mat`` is the epoch's
+    (steps, batch) index matrix. Batch order and RNG splits match the
+    streaming path exactly; being a different compiled program, values
+    agree to ~1 ULP per step (tested), not bitwise.
+    """
+    step = make_train_step(model, optimizer, cfg, jit=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState, device_arrays, idx_mat, rng_key):
+        def body(carry, idx):
+            state, key, loss_sum, conf_sum = carry
+            key, step_key = jax.random.split(key)
+            batch = {
+                k: jnp.take(v, idx, axis=0) for k, v in device_arrays.items()
+            }
+            state, metrics = step(state, batch, step_key)
+            return (
+                state,
+                key,
+                loss_sum + metrics["loss"],
+                conf_sum + metrics["confusion"],
+            ), None
+
+        init = (
+            state,
+            rng_key,
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((cfg.num_classes, cfg.num_classes), jnp.float32),
+        )
+        (state, _, loss_sum, conf_sum), _ = jax.lax.scan(body, init, idx_mat)
+        return state, loss_sum, conf_sum
+
+    return run
 
 
 def make_eval_step(model, cfg: StepConfig):
@@ -310,6 +363,44 @@ def run_train_epoch(
     )
 
 
+def run_train_epoch_resident(
+    epoch_fn,
+    state: TrainState,
+    device_arrays: Mapping,
+    batch_size: int,
+    rng_key,
+    epoch_seed: int,
+    num_classes: int,
+    balance_labels: Optional[np.ndarray] = None,
+) -> Tuple[TrainState, EpochResult]:
+    """One epoch on the device-resident path (``make_epoch_fn``).
+
+    Host work per epoch: index sampling (numpy) + one (steps, batch)
+    int32 upload. Sampling, batch order and RNG match ``run_train_epoch``
+    exactly (per-step values to ~1 ULP; see ``make_epoch_fn``).
+    Single-host/single-shard only — multi-host keeps the streaming path.
+    """
+    n = len(next(iter(device_arrays.values())))
+    if balance_labels is not None:
+        indices = balanced_epoch_indices(balance_labels, epoch_seed)
+    else:
+        indices = shuffled_epoch_indices(n, epoch_seed)
+    steps = len(indices) // batch_size
+    idx_mat = jnp.asarray(
+        indices[: steps * batch_size].reshape(steps, batch_size), jnp.int32
+    )
+    start = time.perf_counter()
+    state, loss_sum, conf_sum = epoch_fn(state, device_arrays, idx_mat, rng_key)
+    conf_host = np.asarray(conf_sum)  # syncs: the epoch is one dispatch
+    seconds = time.perf_counter() - start
+    return state, EpochResult(
+        loss=float(loss_sum) / max(steps, 1),
+        metrics=confusion_to_metrics(conf_host),
+        seconds=seconds,
+        samples=steps * batch_size,
+    )
+
+
 def run_eval(
     eval_step,
     state: TrainState,
@@ -358,9 +449,11 @@ __all__ = [
     "confusion_matrix",
     "confusion_to_metrics",
     "iterate_batches",
+    "make_epoch_fn",
     "make_eval_step",
     "make_train_step",
     "pad_to_multiple",
     "run_eval",
     "run_train_epoch",
+    "run_train_epoch_resident",
 ]

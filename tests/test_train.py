@@ -261,3 +261,93 @@ def test_multihost_epoch_shards_cover_global_order():
     # and host_shard itself partitions exactly
     shards = [host_shard(global_order, p, 2) for p in range(2)]
     np.testing.assert_array_equal(np.concatenate(shards), global_order[:64])
+
+
+def test_resident_epoch_matches_streaming():
+    """Device-resident epoch scan == streaming path semantically.
+
+    Sampling, batch order and RNG splits are identical by construction:
+    a single step agrees to ~1 ULP (the two are different compiled
+    programs, so exact bitwise equality is not guaranteed — measured
+    2e-10 single-step, amplified through Adam+BatchNorm over steps).
+    Asserted: tight single-step agreement for both samplers (shuffled and
+    balanced-with-duplicates), and matching epoch aggregates end to end.
+    """
+    from av1tpu.data.sampling import (
+        balanced_epoch_indices,
+        shuffled_epoch_indices,
+    )
+    from av1tpu.train.trainer import make_epoch_fn, run_train_epoch_resident
+
+    model = TinyModel()
+    data = make_synthetic(300)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    cfg = StepConfig(
+        loss_fn=binary_focal_loss, label_key="stage1", binary=True,
+        num_classes=2,
+    )
+    dev = {k: jnp.asarray(v) for k, v in data.items()}
+    key = jax.random.PRNGKey(7)
+
+    # -- single step, both samplers: ~1 ULP agreement
+    for balance in (False, True):
+        indices = (
+            balanced_epoch_indices(data["stage1"], 1) if balance
+            else shuffled_epoch_indices(300, 1)
+        )
+        opt_a = adamw(1e-3)
+        st_a = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), opt_a
+        )
+        step = make_train_step(model, opt_a, cfg)
+        _, step_key = jax.random.split(key)
+        batch = {k: v[indices[:64]] for k, v in data.items()}
+        st_a, _ = step(st_a, batch, step_key)
+
+        opt_b = adamw(1e-3)
+        st_b = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), opt_b
+        )
+        epoch_fn = make_epoch_fn(model, opt_b, cfg)
+        idx_mat = jnp.asarray(indices[:64][None, :], jnp.int32)
+        st_b, _, _ = epoch_fn(st_b, dev, idx_mat, key)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7
+            ),
+            st_a.params, st_b.params,
+        )
+
+    # -- two full epochs: aggregates agree
+    def run(path):
+        opt = adamw(1e-3)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), opt
+        )
+        results = []
+        if path == "resident":
+            epoch_fn = make_epoch_fn(model, opt, cfg)
+        else:
+            step = make_train_step(model, opt, cfg)
+        for epoch in range(2):
+            ekey = jax.random.fold_in(key, epoch)
+            bl = data["stage1"] if epoch else None
+            if path == "resident":
+                state, r = run_train_epoch_resident(
+                    epoch_fn, state, dev, 64, ekey, epoch_seed=epoch,
+                    num_classes=2, balance_labels=bl,
+                )
+            else:
+                state, r = run_train_epoch(
+                    step, state, data, 64, ekey, epoch_seed=epoch,
+                    num_classes=2, balance_labels=bl,
+                )
+            results.append(r)
+        return results
+
+    r_stream = run("stream")
+    r_res = run("resident")
+    for a, b in zip(r_stream, r_res):
+        assert a.samples == b.samples
+        np.testing.assert_allclose(a.loss, b.loss, rtol=1e-3)
+        assert abs(a.metrics["accuracy"] - b.metrics["accuracy"]) <= 0.02
