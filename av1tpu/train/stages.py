@@ -68,9 +68,12 @@ from av1tpu.train.trainer import (
     StepConfig,
     TrainState,
     make_epoch_fn,
+    make_eval_epoch_fn,
     make_eval_step,
     make_train_step,
+    resident_eval_arrays,
     run_eval,
+    run_eval_resident,
     run_train_epoch,
     run_train_epoch_resident,
 )
@@ -274,7 +277,11 @@ def train_stage(
         logits_fn=recipe.logits_fn,
         use_qp=recipe.use_qp,
     )
-    eval_step = make_eval_step(model, cfg)
+    if resident:
+        eval_epoch_fn = make_eval_epoch_fn(model, cfg)
+        device_val, n_val = resident_eval_arrays(val_arrays)
+    else:
+        eval_step = make_eval_step(model, cfg)
 
     history: List[Dict] = []
     best_value = resume_best if resume_best is not None else -np.inf
@@ -349,10 +356,16 @@ def train_stage(
                     num_classes=recipe.num_classes,
                     balance_labels=balance_labels, mesh=mesh,
                 )
-            ev = run_eval(
-                eval_step, state, val_arrays, recipe.batch_size,
-                recipe.num_classes, mesh=mesh,
-            )
+            if resident:
+                ev = run_eval_resident(
+                    eval_epoch_fn, state, device_val, n_val,
+                    recipe.batch_size, recipe.num_classes,
+                )
+            else:
+                ev = run_eval(
+                    eval_step, state, val_arrays, recipe.batch_size,
+                    recipe.num_classes, mesh=mesh,
+                )
             value = ev.metrics[recipe.best_metric]
             record = {
                 "epoch": epoch_global,

@@ -198,6 +198,93 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
     return run
 
 
+def make_eval_epoch_fn(model, cfg: StepConfig):
+    """Device-resident eval: the whole val pass as one jitted scan.
+
+    Same rationale as :func:`make_epoch_fn` — between training epochs the
+    streamed val pass costs more wall time than the resident train epoch.
+    Expects ``device_arrays`` built by :func:`resident_eval_arrays` (one
+    trailing poison row, labels ``-1``) so the index padding of the final
+    partial batch contributes nothing to the confusion matrix.
+    Returns ``run(state, device_arrays, idx_mat) -> (loss_sum, conf_sum)``.
+    """
+
+    def eval_body(state, batch):
+        images = batch["samples"].astype(jnp.float32) / cfg.norm_scale
+        labels = batch[cfg.label_key]
+        apply_args = (images,)
+        if cfg.use_qp:
+            apply_args = (images, batch["qp"].astype(jnp.float32) / 255.0)
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *apply_args,
+            train=False,
+            **cfg.apply_kwargs,
+        )
+        loss = cfg.loss_fn(outputs, labels)
+        preds = cfg.predictions(outputs)
+        return loss, confusion_matrix(labels, preds, cfg.num_classes)
+
+    @jax.jit
+    def run(state: TrainState, device_arrays, idx_mat):
+        def body(carry, idx):
+            loss_sum, conf_sum = carry
+            batch = {
+                k: jnp.take(v, idx, axis=0) for k, v in device_arrays.items()
+            }
+            loss, conf = eval_body(state, batch)
+            return (loss_sum + loss, conf_sum + conf), None
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((cfg.num_classes, cfg.num_classes), jnp.float32),
+        )
+        (loss_sum, conf_sum), _ = jax.lax.scan(body, init, idx_mat)
+        return loss_sum, conf_sum
+
+    return run
+
+
+def resident_eval_arrays(arrays: Mapping[str, np.ndarray]):
+    """Upload a val set for :func:`make_eval_epoch_fn`: one poison row
+    (zero sample, labels ``-1``) appended at index n, the pad target for
+    the final partial batch. Returns ``(device_arrays, n_valid)``."""
+    n = len(next(iter(arrays.values())))
+    out = {}
+    for k, v in arrays.items():
+        row = np.zeros_like(v[:1]) if k in ("samples", "qp") else np.full_like(
+            v[:1], -1
+        )
+        out[k] = jnp.asarray(np.concatenate([v, row], axis=0))
+    return out, n
+
+
+def run_eval_resident(
+    eval_epoch_fn,
+    state: TrainState,
+    device_arrays: Mapping,
+    n_valid: int,
+    batch_size: int,
+    num_classes: int,
+) -> EpochResult:
+    """Resident counterpart of :func:`run_eval`; identical confusion (the
+    poison padding is label-masked like the streaming path's -1 pads)."""
+    steps = max(1, -(-n_valid // batch_size))
+    idx = np.full(steps * batch_size, n_valid, dtype=np.int32)
+    idx[:n_valid] = np.arange(n_valid, dtype=np.int32)
+    idx_mat = jnp.asarray(idx.reshape(steps, batch_size))
+    start = time.perf_counter()
+    loss_sum, conf_sum = eval_epoch_fn(state, device_arrays, idx_mat)
+    conf_host = np.asarray(conf_sum)
+    seconds = time.perf_counter() - start
+    return EpochResult(
+        loss=float(loss_sum) / steps,
+        metrics=confusion_to_metrics(conf_host),
+        seconds=seconds,
+        samples=n_valid,
+    )
+
+
 def make_eval_step(model, cfg: StepConfig):
     """Build the eval step: (state, batch) -> metrics (loss + confusion)."""
 
@@ -276,7 +363,10 @@ def pad_to_multiple(arrays: Mapping[str, np.ndarray], batch_size: int):
     out = {}
     for k, v in arrays.items():
         pad = np.repeat(v[:1], padded_n - n, axis=0)
-        if k.startswith("label") or k in ("stage0", "stage1", "stage2"):
+        # every key except the inputs is a label array ("stage1",
+        # "stage3_RECT", "flatten", ...) — pad with -1 so padded rows
+        # contribute nothing to loss masks or the confusion matrix
+        if k not in ("samples", "qp"):
             pad = np.full_like(pad, -1)
         out[k] = np.concatenate([v, pad], axis=0)
     return out, n
@@ -450,10 +540,13 @@ __all__ = [
     "confusion_to_metrics",
     "iterate_batches",
     "make_epoch_fn",
+    "make_eval_epoch_fn",
     "make_eval_step",
     "make_train_step",
     "pad_to_multiple",
+    "resident_eval_arrays",
     "run_eval",
+    "run_eval_resident",
     "run_train_epoch",
     "run_train_epoch_resident",
 ]

@@ -351,3 +351,49 @@ def test_resident_epoch_matches_streaming():
         assert a.samples == b.samples
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-3)
         assert abs(a.metrics["accuracy"] - b.metrics["accuracy"]) <= 0.02
+
+
+def test_resident_eval_matches_streaming():
+    """run_eval_resident == run_eval on loss/accuracy, including the
+    poison-row padding of the final partial batch (n not a batch
+    multiple), for a multi-class label key the old pad path mishandled."""
+    from av1tpu.train.trainer import (
+        make_eval_epoch_fn,
+        resident_eval_arrays,
+        run_eval_resident,
+    )
+
+    model = TinyModel(num_outputs=3)
+    rng = np.random.default_rng(5)
+    n = 150  # not a multiple of 64 -> exercises padding
+    data = {
+        "samples": rng.integers(0, 1024, (n, 8, 8, 1)).astype(np.uint16),
+        "stage3_RECT": rng.integers(0, 3, n).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    opt = adamw(1e-3)
+    state = TrainState.create(variables, opt)
+
+    def ce(logits, labels):
+        oh = jax.nn.one_hot(jnp.clip(labels, 0), 3)
+        valid = (labels >= 0).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.sum(oh * logp * valid[:, None]) / jnp.maximum(
+            valid.sum(), 1
+        )
+
+    cfg = StepConfig(
+        loss_fn=ce, label_key="stage3_RECT", binary=False, num_classes=3
+    )
+    streaming = run_eval(
+        make_eval_step(model, cfg), state, data, batch_size=64, num_classes=3
+    )
+    dev, n_valid = resident_eval_arrays(data)
+    resident = run_eval_resident(
+        make_eval_epoch_fn(model, cfg), state, dev, n_valid,
+        batch_size=64, num_classes=3,
+    )
+    assert resident.samples == streaming.samples == n
+    np.testing.assert_allclose(resident.loss, streaming.loss, rtol=1e-5)
+    assert resident.metrics["accuracy"] == streaming.metrics["accuracy"]
+    assert resident.metrics["macro_f1"] == streaming.metrics["macro_f1"]
