@@ -385,7 +385,14 @@ def train_stage(
             )
             if value > best_value:
                 best_value = value
-                best_state = jax.tree_util.tree_map(np.asarray, state)
+                # device-side copy (donation-safe): pulling the full
+                # TrainState to host here costs seconds per improvement
+                # over a tethered link; consumers np.asarray it lazily
+                best_state = jax.tree_util.tree_map(
+                    lambda x: jnp.array(x, copy=True)
+                    if isinstance(x, jax.Array) else x,
+                    state,
+                )
                 no_improve = 0
                 if checkpoint_dir is not None:
                     ckpt_dir = save_checkpoint(
@@ -402,7 +409,11 @@ def train_stage(
             else:
                 no_improve += 1
             if checkpoint_dir is not None:
-                # rolling full-TrainState checkpoint: the resume anchor
+                # rolling full-TrainState checkpoint: the resume anchor.
+                # verify=False here — the save->restore->bitwise check
+                # (quirk Q4 protection) runs on every _best save and in
+                # tests; re-verifying the rolling anchor every epoch
+                # doubles its cost for no added coverage
                 last_dir = save_checkpoint(
                     Path(checkpoint_dir) / f"{recipe.name}_last",
                     state,
@@ -413,7 +424,7 @@ def train_stage(
                         "best_value": float(best_value),
                         "no_improve": int(no_improve),
                     },
-                    verify=True,
+                    verify=False,
                 )
                 _save_resume_variables(last_dir, state)
             epoch_global += 1
