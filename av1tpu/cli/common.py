@@ -28,6 +28,10 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
                         help="model-axis size of the device mesh")
     parser.add_argument("--resume", type=Path, default=None,
                         help="checkpoint dir (…_best/…_final) to resume from")
+    parser.add_argument("--checkpoint-every", type=int, default=10,
+                        help="epochs between rolling resume anchors; epochs "
+                        "replay deterministically so a sparse anchor costs "
+                        "recovery time, never correctness")
 
 
 def load_split(dataset_dir: Path, block_size: int) -> Tuple[Bundle, Bundle, Dict]:

@@ -132,6 +132,7 @@ def main(argv=None) -> None:
         init_params=init_params, init_batch_stats=init_stats,
         checkpoint_dir=args.output_dir,
         resume_from=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

@@ -47,6 +47,7 @@ def main(argv=None) -> None:
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
         checkpoint_dir=args.output_dir,
         resume_from=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

@@ -190,6 +190,7 @@ def main(argv=None) -> None:
             result = train_stage(
                 recipe, m_train, m_val, seed=args.seed + 100 * member,
                 mesh=mesh, checkpoint_dir=args.output_dir,
+                checkpoint_every=args.checkpoint_every,
             )
             export_best(result, recipe.name, args.output_dir)
             write_history(result, args.output_dir, recipe.name)
@@ -241,6 +242,7 @@ def main(argv=None) -> None:
     result = train_stage(
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
         checkpoint_dir=args.output_dir, resume_from=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     export_best(result, recipe.name, args.output_dir)
     write_history(result, args.output_dir, recipe.name)

@@ -178,6 +178,7 @@ def train_stage(
     checkpoint_dir: Optional[Path] = None,
     resume_from: Optional[Path] = None,
     stop_after_epoch: Optional[int] = None,
+    checkpoint_every: int = 10,
     log: Callable[[str], None] = print,
 ) -> TrainResult:
     """Run all phases of a recipe; returns final and best states.
@@ -192,6 +193,13 @@ def train_stage(
     interrupted at epoch k and resumed from ``<name>_last`` is bitwise
     identical to the uninterrupted run. Legacy ``variables.npz``-only
     directories still resume (params/batch-stats, fresh optimizer).
+
+    ``checkpoint_every`` spaces the rolling ``_last`` resume anchor (plus
+    the final epoch of every phase). Because epochs replay
+    deterministically, resuming from an older anchor reproduces the lost
+    epochs exactly — so the anchor trades save cost (a full-TrainState
+    device->host pull, ~25 s on a tethered chip vs ~1 s to re-train an
+    epoch at dataset scale) against recovery time, never correctness.
     """
     model = recipe.model
     key = jax.random.PRNGKey(seed)
@@ -286,6 +294,8 @@ def train_stage(
     history: List[Dict] = []
     best_value = resume_best if resume_best is not None else -np.inf
     best_state = None
+    best_epoch = -1
+    best_dirty = False
     state = None
     epoch_global = 0
     no_improve = resume_no_improve
@@ -385,6 +395,8 @@ def train_stage(
             )
             if value > best_value:
                 best_value = value
+                best_epoch = epoch_global
+                best_dirty = True
                 # device-side copy (donation-safe): pulling the full
                 # TrainState to host here costs seconds per improvement
                 # over a tethered link; consumers np.asarray it lazily
@@ -394,21 +406,29 @@ def train_stage(
                     state,
                 )
                 no_improve = 0
-                if checkpoint_dir is not None:
-                    ckpt_dir = save_checkpoint(
-                        Path(checkpoint_dir) / f"{recipe.name}_best",
-                        state,
-                        meta={
-                            "epoch": epoch_global,
-                            "metric": recipe.best_metric,
-                            "value": float(value),
-                        },
-                        verify=True,
-                    )
-                    _save_resume_variables(ckpt_dir, state)
             else:
                 no_improve += 1
-            if checkpoint_dir is not None:
+            anchor_due = (
+                (epoch_global + 1) % max(1, checkpoint_every) == 0
+                or epoch_global + 1 == phase_end
+                or epoch_global == stop_after_epoch
+            )
+            if checkpoint_dir is not None and anchor_due and best_dirty:
+                # deferred _best save (crash insurance; the end-of-run
+                # export always persists the in-memory best regardless)
+                ckpt_dir = save_checkpoint(
+                    Path(checkpoint_dir) / f"{recipe.name}_best",
+                    best_state,
+                    meta={
+                        "epoch": best_epoch,
+                        "metric": recipe.best_metric,
+                        "value": float(best_value),
+                    },
+                    verify=True,
+                )
+                _save_resume_variables(ckpt_dir, best_state)
+                best_dirty = False
+            if checkpoint_dir is not None and anchor_due:
                 # rolling full-TrainState checkpoint: the resume anchor.
                 # verify=False here — the save->restore->bitwise check
                 # (quirk Q4 protection) runs on every _best save and in
@@ -444,6 +464,19 @@ def train_stage(
             continue
         break
 
+    if checkpoint_dir is not None and best_dirty and best_state is not None:
+        # flush a best that improved after the last anchor (early stop /
+        # stop_after_epoch exits between anchors)
+        ckpt_dir = save_checkpoint(
+            Path(checkpoint_dir) / f"{recipe.name}_best", best_state,
+            meta={
+                "epoch": best_epoch,
+                "metric": recipe.best_metric,
+                "value": float(best_value),
+            },
+            verify=True,
+        )
+        _save_resume_variables(ckpt_dir, best_state)
     if checkpoint_dir is not None and state is not None:
         final_dir = save_checkpoint(
             Path(checkpoint_dir) / f"{recipe.name}_final", state,
