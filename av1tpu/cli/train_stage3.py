@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from dataclasses import replace
 from pathlib import Path
 
@@ -66,21 +67,65 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
         model, optimizer, jax.random.PRNGKey(args.seed),
         input_shape=(args.block_size, args.block_size, 1),
     )
-    train_step = make_fgvc_train_step(model, optimizer)
-    eval_step = make_fgvc_eval_step(model)
-
     arrays = {"samples": train_b.samples, "stage3_AB": train_b.labels["stage3_AB"]}
     val_arrays = {"samples": val_b.samples, "stage3_AB": val_b.labels["stage3_AB"]}
+
+    # device-resident epochs when eligible (same policy as train_stage)
+    from av1tpu.train.stages import _RESIDENT_MAX_BYTES
+    from av1tpu.train.trainer import (
+        resident_eval_arrays,
+        run_eval_resident,
+        run_train_epoch_resident,
+        scan_epoch_fn,
+        scan_eval_fn,
+    )
+
+    resident = (
+        mesh is None
+        and jax.process_count() == 1
+        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
+        and sum(a.nbytes for a in arrays.values()) <= _RESIDENT_MAX_BYTES
+    )
+    if resident:
+        epoch_fn = scan_epoch_fn(
+            make_fgvc_train_step(model, optimizer, jit=False), 4
+        )
+        raw_eval = make_fgvc_eval_step(model, jit=False)
+        eval_fn = scan_eval_fn(
+            lambda s, b: (
+                lambda m: (m["loss"], m["confusion"])
+            )(raw_eval(s, b)),
+            4,
+        )
+        device_arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        device_val, n_val = resident_eval_arrays(val_arrays)
+    else:
+        train_step = make_fgvc_train_step(model, optimizer)
+        eval_step = make_fgvc_eval_step(model)
+
     key = jax.random.PRNGKey(args.seed + 1)
     best, history = -np.inf, []
     args.output_dir.mkdir(parents=True, exist_ok=True)
     for epoch in range(epochs):
         key, ek = jax.random.split(key)
-        state, tr = run_train_epoch(
-            train_step, state, arrays, args.batch_size, ek, args.seed + epoch,
-            num_classes=4, balance_labels=arrays["stage3_AB"], mesh=mesh,
-        )
-        ev = run_eval(eval_step, state, val_arrays, args.batch_size, 4, mesh=mesh)
+        if resident:
+            state, tr = run_train_epoch_resident(
+                epoch_fn, state, device_arrays, args.batch_size, ek,
+                epoch_seed=args.seed + epoch, num_classes=4,
+                balance_labels=arrays["stage3_AB"],
+            )
+            ev = run_eval_resident(
+                eval_fn, state, device_val, n_val, args.batch_size, 4
+            )
+        else:
+            state, tr = run_train_epoch(
+                train_step, state, arrays, args.batch_size, ek,
+                args.seed + epoch,
+                num_classes=4, balance_labels=arrays["stage3_AB"], mesh=mesh,
+            )
+            ev = run_eval(
+                eval_step, state, val_arrays, args.batch_size, 4, mesh=mesh
+            )
         value = ev.metrics["macro_f1"]
         history.append({"epoch": epoch, "train_loss": tr.loss,
                         "val_metrics": ev.metrics,

@@ -52,6 +52,7 @@ def make_fgvc_train_step(
     norm_scale: float = NORM_10BIT,
     label_key: str = "stage3_AB",
     num_classes: int = 4,
+    jit: bool = True,
 ):
     def loss_fn(params, batch_stats, batch, rng):
         aug_key, cutmix_key, dropout_key = jax.random.split(rng, 3)
@@ -82,7 +83,6 @@ def make_fgvc_train_step(
         conf = confusion_matrix(labels, preds, num_classes)
         return total, (mutated["batch_stats"], conf, ce, c_loss)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         (loss, (new_stats, conf, ce, c_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -97,14 +97,15 @@ def make_fgvc_train_step(
             {"loss": loss, "ce": ce, "center": c_loss, "confusion": conf},
         )
 
+    if jit:
+        return partial(jax.jit, donate_argnums=(0,))(train_step)
     return train_step
 
 
 def make_fgvc_eval_step(
     model, norm_scale: float = NORM_10BIT, label_key: str = "stage3_AB",
-    num_classes: int = 4,
+    num_classes: int = 4, jit: bool = True,
 ):
-    @jax.jit
     def eval_step(state: TrainState, batch):
         images = batch["samples"].astype(jnp.float32) / norm_scale
         labels = batch[label_key]
@@ -120,6 +121,8 @@ def make_fgvc_eval_step(
             "logits": logits,
         }
 
+    if jit:
+        return jax.jit(eval_step)
     return eval_step
 
 

@@ -168,7 +168,16 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
     streaming path exactly; being a different compiled program, values
     agree to ~1 ULP per step (tested), not bitwise.
     """
-    step = make_train_step(model, optimizer, cfg, jit=False)
+    return scan_epoch_fn(
+        make_train_step(model, optimizer, cfg, jit=False), cfg.num_classes
+    )
+
+
+def scan_epoch_fn(step_fn, num_classes: int):
+    """Generic device-resident epoch builder: wrap any raw train-step body
+    ``(state, batch, rng) -> (state, metrics)`` (metrics carrying ``loss``
+    and ``confusion``) into the one-dispatch epoch scan. Used by the
+    standard trainer and the FGVC composite step alike."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, device_arrays, idx_mat, rng_key):
@@ -178,7 +187,7 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
             batch = {
                 k: jnp.take(v, idx, axis=0) for k, v in device_arrays.items()
             }
-            state, metrics = step(state, batch, step_key)
+            state, metrics = step_fn(state, batch, step_key)
             return (
                 state,
                 key,
@@ -190,7 +199,7 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
             state,
             rng_key,
             jnp.zeros((), jnp.float32),
-            jnp.zeros((cfg.num_classes, cfg.num_classes), jnp.float32),
+            jnp.zeros((num_classes, num_classes), jnp.float32),
         )
         (state, _, loss_sum, conf_sum), _ = jax.lax.scan(body, init, idx_mat)
         return state, loss_sum, conf_sum
@@ -225,6 +234,13 @@ def make_eval_epoch_fn(model, cfg: StepConfig):
         preds = cfg.predictions(outputs)
         return loss, confusion_matrix(labels, preds, cfg.num_classes)
 
+    return scan_eval_fn(eval_body, cfg.num_classes)
+
+
+def scan_eval_fn(eval_body, num_classes: int):
+    """Generic device-resident eval builder over a raw body
+    ``(state, batch) -> (loss, confusion)``."""
+
     @jax.jit
     def run(state: TrainState, device_arrays, idx_mat):
         def body(carry, idx):
@@ -237,7 +253,7 @@ def make_eval_epoch_fn(model, cfg: StepConfig):
 
         init = (
             jnp.zeros((), jnp.float32),
-            jnp.zeros((cfg.num_classes, cfg.num_classes), jnp.float32),
+            jnp.zeros((num_classes, num_classes), jnp.float32),
         )
         (loss_sum, conf_sum), _ = jax.lax.scan(body, init, idx_mat)
         return loss_sum, conf_sum
@@ -547,6 +563,8 @@ __all__ = [
     "resident_eval_arrays",
     "run_eval",
     "run_eval_resident",
+    "scan_epoch_fn",
+    "scan_eval_fn",
     "run_train_epoch",
     "run_train_epoch_resident",
 ]
