@@ -31,7 +31,13 @@ def init_on_cpu(model, rngs, *args, **kwargs):
     args = jax.tree_util.tree_map(put, args)
     kwargs = jax.tree_util.tree_map(put, kwargs)
     with jax.default_device(cpu):
-        return model.init(rngs, *args, **kwargs)
+        variables = model.init(rngs, *args, **kwargs)
+    # Return UNCOMMITTED leaves (numpy views; bf16 survives via ml_dtypes):
+    # the committed-to-cpu-device-0 outputs of the init above would
+    # conflict with mesh-sharded batches at the first pjit boundary.
+    import numpy as np
+
+    return jax.tree_util.tree_map(np.asarray, variables)
 
 
 __all__ = ["init_on_cpu"]
