@@ -77,6 +77,10 @@ def build_v6(args, dtype, mesh=None):
             raise SystemExit(
                 "--int8/--folded are incompatible with --tta/ensembles"
             )
+        if args.int8 and args.folded:
+            raise SystemExit(
+                "--int8 and --folded are distinct serving paths; pick one"
+            )
         if args.int8 and args.capacity is not None:
             raise SystemExit("--int8 is incompatible with --capacity")
     if args.folded:
@@ -186,11 +190,20 @@ def main(argv=None) -> None:
         print(f"sharding inference over mesh {dict(mesh.shape)}")
     train_b, val_b, _ = load_split(args.dataset_dir, args.block_size)
     bundle = val_b if args.split == "val" else train_b
-    # int8 calibration draws from the TRAIN split (never the eval split)
-    args.calib_images = (
-        train_b.samples[: args.calib_samples] if getattr(args, "int8", False)
-        else None
-    )
+    # int8 calibration draws a seeded RANDOM subsample of the TRAIN split
+    # (never the eval split): bundles are written frame-sequential, so the
+    # first rows would calibrate activation scales on one frame's content
+    if getattr(args, "int8", False):
+        import numpy as _np
+
+        idx = _np.random.default_rng(0).choice(
+            len(train_b.samples),
+            size=min(args.calib_samples, len(train_b.samples)),
+            replace=False,
+        )
+        args.calib_images = train_b.samples[_np.sort(idx)]
+    else:
+        args.calib_images = None
 
     if args.variant == "v6":
         required = ["stage1_checkpoint", "stage2_checkpoint",

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 from dataclasses import replace
 from pathlib import Path
 
@@ -71,8 +70,8 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
     val_arrays = {"samples": val_b.samples, "stage3_AB": val_b.labels["stage3_AB"]}
 
     # device-resident epochs when eligible (same policy as train_stage)
-    from av1tpu.train.stages import _RESIDENT_MAX_BYTES
     from av1tpu.train.trainer import (
+        resident_eligible,
         resident_eval_arrays,
         run_eval_resident,
         run_train_epoch_resident,
@@ -80,12 +79,7 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
         scan_eval_fn,
     )
 
-    resident = (
-        mesh is None
-        and jax.process_count() == 1
-        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
-        and sum(a.nbytes for a in arrays.values()) <= _RESIDENT_MAX_BYTES
-    )
+    resident = resident_eligible(arrays, mesh)
     if resident:
         epoch_fn = scan_epoch_fn(
             make_fgvc_train_step(model, optimizer, jit=False), 4

@@ -27,9 +27,15 @@ import jax
 import jax.numpy as jnp
 
 from av1tpu.data.records import NORM_10BIT
-from av1tpu.eval.hierarchy import v6_route
+from av1tpu.eval.hierarchy import assemble_v6_predict
 from av1tpu.kernels.resnet_group import fused_group12, pack_group12_weights
-from av1tpu.quant.ptq import _backbone_apply, _head_apply, fold_backbone, fold_head
+from av1tpu.quant.ptq import (
+    _backbone_apply,
+    _head_apply,
+    fold_backbone,
+    fold_head,
+    is_plain_stage,
+)
 
 
 def _folded_stage_fn(
@@ -83,32 +89,18 @@ def make_v6_pipeline_folded(
     f3r = _folded_stage_fn(
         models.stage3_rect_vars, float_dtype, use_pallas_groups, interpret
     )
-    try:
+    if is_plain_stage(models.stage3_ab_vars):
         f3a = _folded_stage_fn(
             models.stage3_ab_vars, float_dtype, use_pallas_groups, interpret
         )
-    except KeyError:
+    else:  # FGVC head layout: flax apply inside the same graph
         f3a = lambda x: models.stage3_ab.apply(  # noqa: E731
             models.stage3_ab_vars, x, train=False
         )
 
-    def predict(images) -> Dict[str, jnp.ndarray]:
-        x = images.astype(jnp.float32) / norm_scale
-        x = x.astype(float_dtype)
-        s1_logits = jnp.squeeze(f1(x), axis=-1)
-        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
-        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
-        s2_pred = jnp.argmax(f2(x), axis=-1).astype(jnp.int32)
-        rect_pred = jnp.argmax(f3r(x), axis=-1).astype(jnp.int32)
-        ab_pred = jnp.argmax(f3a(x), axis=-1).astype(jnp.int32)
-        return {
-            "final": v6_route(s1_pred, s2_pred, rect_pred, ab_pred),
-            "stage1_prob": s1_prob,
-            "stage1_pred": s1_pred,
-            "stage2_pred": s2_pred,
-            "stage3_rect_pred": rect_pred,
-            "stage3_ab_pred": ab_pred,
-        }
+    predict = assemble_v6_predict(
+        f1, f2, f3r, f3a, stage1_threshold, norm_scale, float_dtype=float_dtype
+    )
 
     if mesh is None:
         return jax.jit(predict)

@@ -53,23 +53,45 @@ def make_v6_pipeline_gated(
 
     if folded:
         from av1tpu.eval.folded import _folded_stage_fn
+        from av1tpu.quant.ptq import is_plain_stage
 
+        ab_fallback = not is_plain_stage(models.stage3_ab_vars)
+        if mesh is not None and ab_fallback:
+            # only the FGVC fallback reads flax variables in folded mode
+            import dataclasses
+
+            from av1tpu.eval.hierarchy import _replicate_tree
+
+            models = dataclasses.replace(
+                models,
+                stage3_ab_vars=_replicate_tree(models.stage3_ab_vars, mesh),
+            )
         f1 = _folded_stage_fn(models.stage1_vars, input_dtype, False, False)
         f2 = _folded_stage_fn(models.stage2_vars, input_dtype, False, False)
         f3r = _folded_stage_fn(
             models.stage3_rect_vars, input_dtype, False, False
         )
-        try:
-            f3a = _folded_stage_fn(
-                models.stage3_ab_vars, input_dtype, False, False
-            )
-        except KeyError:
+        if ab_fallback:
             f3a = lambda x: models.stage3_ab.apply(  # noqa: E731
                 models.stage3_ab_vars, x, train=False
+            )
+        else:
+            f3a = _folded_stage_fn(
+                models.stage3_ab_vars, input_dtype, False, False
             )
         stage1_fn = lambda x: jnp.squeeze(f1(x), axis=-1)  # noqa: E731
         stage2_fn, rect_fn, ab_fn = f2, f3r, f3a
     else:
+        if mesh is not None:
+            from av1tpu.eval.hierarchy import _replicate_tree
+
+            models = PipelineModels(
+                models.stage1, _replicate_tree(models.stage1_vars, mesh),
+                models.stage2, _replicate_tree(models.stage2_vars, mesh),
+                models.stage3_rect,
+                _replicate_tree(models.stage3_rect_vars, mesh),
+                models.stage3_ab, _replicate_tree(models.stage3_ab_vars, mesh),
+            )
         stage1_fn = lambda x: models.stage1.apply(  # noqa: E731
             models.stage1_vars, x, train=False
         )
@@ -81,15 +103,6 @@ def make_v6_pipeline_gated(
         )
         ab_fn = lambda x: models.stage3_ab.apply(  # noqa: E731
             models.stage3_ab_vars, x, train=False
-        )
-    if mesh is not None:
-        from av1tpu.eval.hierarchy import _replicate_tree
-
-        models = PipelineModels(
-            models.stage1, _replicate_tree(models.stage1_vars, mesh),
-            models.stage2, _replicate_tree(models.stage2_vars, mesh),
-            models.stage3_rect, _replicate_tree(models.stage3_rect_vars, mesh),
-            models.stage3_ab, _replicate_tree(models.stage3_ab_vars, mesh),
         )
 
     def predict(images) -> Dict[str, jnp.ndarray]:

@@ -121,6 +121,37 @@ def v6_route(s1_pred, s2_pred, rect_pred, ab_pred):
     )
 
 
+def assemble_v6_predict(
+    f1, f2, f3r, f3a, stage1_threshold: float, norm_scale: float,
+    float_dtype=None,
+):
+    """Assemble the standard v6 predict body from four per-stage logit
+    functions — the single source of the output contract shared by the
+    BN-folded and int8 serving pipelines (the flax path builds the same
+    dict inline with TTA/ensemble/stacked options these paths exclude)."""
+
+    def predict(images) -> Dict[str, jnp.ndarray]:
+        x = images.astype(jnp.float32) / norm_scale
+        if float_dtype is not None:
+            x = x.astype(float_dtype)
+        s1_logits = jnp.squeeze(f1(x), axis=-1)
+        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
+        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
+        s2_pred = jnp.argmax(f2(x), axis=-1).astype(jnp.int32)
+        rect_pred = jnp.argmax(f3r(x), axis=-1).astype(jnp.int32)
+        ab_pred = jnp.argmax(f3a(x), axis=-1).astype(jnp.int32)
+        return {
+            "final": v6_route(s1_pred, s2_pred, rect_pred, ab_pred),
+            "stage1_prob": s1_prob,
+            "stage1_pred": s1_pred,
+            "stage2_pred": s2_pred,
+            "stage3_rect_pred": rect_pred,
+            "stage3_ab_pred": ab_pred,
+        }
+
+    return predict
+
+
 def make_v6_pipeline(
     models: PipelineModels,
     stage1_threshold: float = 0.45,
@@ -424,6 +455,7 @@ def run_pipeline_batched(
 __all__ = [
     "PipelineModels",
     "make_flatten_pipeline",
+    "assemble_v6_predict",
     "make_v5_pipeline",
     "make_v6_pipeline",
     "run_pipeline_batched",

@@ -125,13 +125,15 @@ def plot_cascade(cascade: Mapping) -> str:
 
 def plot_history(history: Sequence[Mapping], metric: str) -> str:
     """Train/val loss and the tracked val metric per epoch (two panels,
-    one y-axis each — never a dual axis)."""
+    one y-axis each — never a dual axis). Tolerates histories without a
+    val_loss series (the FGVC trainer records train loss only)."""
     epochs = [int(r["epoch"]) for r in history]
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8.8, 3.2))
     ax1.plot(epochs, [float(r["train_loss"]) for r in history],
              color=_SERIES[0], linewidth=2, label="train")
-    ax1.plot(epochs, [float(r["val_loss"]) for r in history],
-             color=_SERIES[1], linewidth=2, label="val")
+    if history and "val_loss" in history[0]:
+        ax1.plot(epochs, [float(r["val_loss"]) for r in history],
+                 color=_SERIES[1], linewidth=2, label="val")
     ax1.set_xlabel("epoch")
     ax1.set_ylabel("loss")
     ax1.legend(frameon=False, fontsize=9)

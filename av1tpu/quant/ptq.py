@@ -61,6 +61,24 @@ def _fold(conv_kernel, bn_params, bn_stats):
     return conv_kernel * k, bn_params["bias"] - bn_stats["mean"] * k
 
 
+def is_plain_stage(variables: Mapping) -> bool:
+    """True when the variable tree has the plain ImprovedBackbone+MLPHead
+    layout that fold_backbone/fold_head understand (Stage1/2/3 models).
+    FGVC's projection+cosine head lacks ``params["head"]``. Used instead
+    of catching KeyError around the fold: a genuinely malformed plain
+    checkpoint should fail loudly, not silently serve unfolded."""
+    try:
+        p = variables["params"]
+        return (
+            "head" in p
+            and "backbone" in p
+            and "bn1" in p["backbone"]
+            and "backbone" in variables.get("batch_stats", {})
+        )
+    except TypeError:
+        return False
+
+
 def fold_backbone(variables: Mapping) -> Dict:
     """BN-fold an ``ImprovedBackbone`` variable tree (params+batch_stats)
     into a flat dict of conv kernels+biases plus the float gate weights."""
@@ -442,42 +460,28 @@ def make_v6_pipeline_int8(
     (BN-projection + cosine classifier) stays float inside the same fused
     graph — a mixed-precision pipeline, still one jit.
     """
-    from av1tpu.eval.hierarchy import _jit_with_mesh, v6_route
+    from av1tpu.eval.hierarchy import _jit_with_mesh, assemble_v6_predict
 
     calib_x = calib_images.astype(jnp.float32) / norm_scale
     q1 = quantize_stage(models.stage1_vars, calib_x, float_dtype)
     q2 = quantize_stage(models.stage2_vars, calib_x, float_dtype)
     q3r = quantize_stage(models.stage3_rect_vars, calib_x, float_dtype)
-    try:
-        q3a = quantize_stage(models.stage3_ab_vars, calib_x, float_dtype)
-        ab_logits_fn = q3a
-    except KeyError:
+    if is_plain_stage(models.stage3_ab_vars):
+        ab_logits_fn = quantize_stage(models.stage3_ab_vars, calib_x, float_dtype)
+    else:
         ab_logits_fn = lambda x: models.stage3_ab.apply(  # noqa: E731
             models.stage3_ab_vars, x, train=False
         )
 
-    def predict(images) -> Dict[str, jnp.ndarray]:
-        x = images.astype(jnp.float32) / norm_scale
-        s1_logits = jnp.squeeze(q1(x), axis=-1)
-        s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
-        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
-        s2_pred = jnp.argmax(q2(x), axis=-1).astype(jnp.int32)
-        rect_pred = jnp.argmax(q3r(x), axis=-1).astype(jnp.int32)
-        ab_pred = jnp.argmax(ab_logits_fn(x), axis=-1).astype(jnp.int32)
-        return {
-            "final": v6_route(s1_pred, s2_pred, rect_pred, ab_pred),
-            "stage1_prob": s1_prob,
-            "stage1_pred": s1_pred,
-            "stage2_pred": s2_pred,
-            "stage3_rect_pred": rect_pred,
-            "stage3_ab_pred": ab_pred,
-        }
-
+    predict = assemble_v6_predict(
+        q1, q2, q3r, ab_logits_fn, stage1_threshold, norm_scale
+    )
     return _jit_with_mesh(predict, mesh)
 
 
 __all__ = [
     "QuantStageModel",
+    "is_plain_stage",
     "calibrate",
     "fold_backbone",
     "fold_head",

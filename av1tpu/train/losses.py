@@ -39,12 +39,14 @@ def multiclass_focal_loss(
     logits, targets, gamma: float = 2.0, reduction: str = "mean"
 ):
     """Multiclass focal: ``(1-p_t)^gamma * CE`` (losses.py:41-46; note the
-    reference applies no alpha in the multiclass branch)."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    reference applies no alpha in the multiclass branch). Negative targets
+    (eval padding) contribute nothing."""
+    t = jnp.clip(targets, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, t)
     probs = jax.nn.softmax(logits, axis=-1)
-    pt = jnp.take_along_axis(probs, targets[:, None], axis=-1)[:, 0]
+    pt = jnp.take_along_axis(probs, t[:, None], axis=-1)[:, 0]
     loss = (1.0 - pt) ** gamma * ce
-    return _reduce(loss, reduction)
+    return _reduce_valid(loss, targets, reduction)
 
 
 def class_balanced_focal_loss(
@@ -70,12 +72,13 @@ def class_balanced_focal_loss(
         effective_number_weights(np.asarray(samples_per_class), beta),
         dtype=logits.dtype,
     )
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
-    ce = ce * weights[targets]
+    t = jnp.clip(targets, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, t)
+    ce = ce * weights[t]
     probs = jax.nn.softmax(logits, axis=-1)
-    pt = jnp.take_along_axis(probs, targets[:, None], axis=-1)[:, 0]
+    pt = jnp.take_along_axis(probs, t[:, None], axis=-1)[:, 0]
     loss = (1.0 - pt) ** gamma * ce
-    return _reduce(loss, reduction)
+    return _reduce_valid(loss, targets, reduction)
 
 
 def weighted_ce_label_smoothing(
@@ -92,14 +95,15 @@ def weighted_ce_label_smoothing(
     ``smoothing/(C-1)`` off-class, ``1-smoothing`` on-class.
     """
     num_classes = logits.shape[-1]
+    t = jnp.clip(targets, 0)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     off = smoothing / (num_classes - 1) if num_classes > 1 else 0.0
     true_dist = jnp.full_like(log_probs, off)
-    true_dist = true_dist.at[jnp.arange(targets.shape[0]), targets].set(1.0 - smoothing)
+    true_dist = true_dist.at[jnp.arange(t.shape[0]), t].set(1.0 - smoothing)
     loss = -jnp.sum(true_dist * log_probs, axis=-1)
     if class_weights is not None:
-        loss = loss * jnp.asarray(class_weights, dtype=loss.dtype)[targets]
-    return _reduce(loss, reduction)
+        loss = loss * jnp.asarray(class_weights, dtype=loss.dtype)[t]
+    return _reduce_valid(loss, targets, reduction)
 
 
 def stage1_focal_bce_v5(
@@ -223,6 +227,19 @@ def mixed_loss(loss_fn, logits, targets, perm, lam):
 def _reduce(loss, reduction: str):
     if reduction == "mean":
         return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def _reduce_valid(loss, targets, reduction: str):
+    """Reduce ignoring negative targets (eval padding rows): without this,
+    a -1 label wraps to the last class under JAX indexing and padded rows
+    add real CE to the reported val loss."""
+    valid = (targets >= 0).astype(loss.dtype)
+    loss = loss * valid
+    if reduction == "mean":
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
     if reduction == "sum":
         return jnp.sum(loss)
     return loss

@@ -21,7 +21,6 @@ Reference scripts covered (pesquisa_v6/scripts unless noted):
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass, field, replace
 from pathlib import Path
@@ -71,20 +70,12 @@ from av1tpu.train.trainer import (
     make_eval_epoch_fn,
     make_eval_step,
     make_train_step,
+    resident_eligible,
     resident_eval_arrays,
     run_eval,
     run_eval_resident,
     run_train_epoch,
     run_train_epoch_resident,
-)
-
-# Device-resident training (one lax.scan dispatch per epoch) engages
-# automatically below this dataset size; above it — or with
-# AV1TPU_STREAM_DATA=1, a mesh, or multiple hosts — the streaming
-# per-batch path runs instead. 4 GiB leaves generous HBM headroom on a
-# 16 GiB chip next to model/optimizer state.
-_RESIDENT_MAX_BYTES = int(
-    os.environ.get("AV1TPU_RESIDENT_MAX_BYTES", 4 * 1024**3)
 )
 
 
@@ -261,12 +252,7 @@ def train_stage(
     val_arrays = _bundle_arrays(val_bundle, recipe.label_key, recipe.use_qp)
     balance_labels = arrays[recipe.label_key] if recipe.balance else None
 
-    resident = (
-        mesh is None
-        and jax.process_count() == 1
-        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
-        and sum(a.nbytes for a in arrays.values()) <= _RESIDENT_MAX_BYTES
-    )
+    resident = resident_eligible(arrays, mesh)
     device_arrays = (
         {k: jnp.asarray(v) for k, v in arrays.items()} if resident else None
     )

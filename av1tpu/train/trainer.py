@@ -14,6 +14,7 @@ from :mod:`av1tpu.parallel.mesh`, and on-device metric accumulation
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -170,6 +171,26 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
     """
     return scan_epoch_fn(
         make_train_step(model, optimizer, cfg, jit=False), cfg.num_classes
+    )
+
+
+# Device-resident training engages automatically below this dataset size;
+# above it — or with AV1TPU_STREAM_DATA=1, a mesh, or multiple hosts — the
+# streaming per-batch path runs instead. 4 GiB leaves generous HBM headroom
+# on a 16 GiB chip next to model/optimizer state.
+RESIDENT_MAX_BYTES = int(
+    os.environ.get("AV1TPU_RESIDENT_MAX_BYTES", 4 * 1024**3)
+)
+
+
+def resident_eligible(arrays, mesh) -> bool:
+    """Single policy for choosing the device-resident epoch path, shared
+    by train_stage and the FGVC trainer."""
+    return (
+        mesh is None
+        and jax.process_count() == 1
+        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
+        and sum(a.nbytes for a in arrays.values()) <= RESIDENT_MAX_BYTES
     )
 
 

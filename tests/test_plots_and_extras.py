@@ -122,3 +122,17 @@ def test_throughput_meter_and_trace(tmp_path):
         with annotate("inner"):
             _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     assert any((tmp_path / "traces").rglob("*"))
+
+
+def test_plot_history_tolerates_fgvc_history():
+    """FGVC trainer histories have no val_loss series; the report plot
+    must render rather than KeyError (regression from code review)."""
+    from av1tpu.eval.html_report import plot_history
+
+    history = [
+        {"epoch": e, "train_loss": 1.0 / (e + 1),
+         "val_metrics": {"macro_f1": 0.5 + 0.1 * e}}
+        for e in range(3)
+    ]
+    b64 = plot_history(history, "macro_f1")
+    assert isinstance(b64, str) and len(b64) > 1000
