@@ -222,3 +222,18 @@ def test_gated_folded_matches_dense_folded(v6_models, images):
         got["stage1_prob"], want["stage1_prob"], atol=1e-6
     )
     assert int(got["overflow"]) == 0
+
+
+def test_is_plain_stage_discriminates_fgvc():
+    """is_plain_stage: True for the backbone+MLPHead stage layout, False
+    for FGVC (projection+cosine head) — the serving builders use this to
+    pick fold vs flax-fallback without masking real checkpoint errors."""
+    from av1tpu.models import FGVCModel
+    from av1tpu.quant.ptq import is_plain_stage
+
+    sample = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    plain = init_on_cpu(Stage3ABModel(), jax.random.PRNGKey(0), sample)
+    fgvc = init_on_cpu(FGVCModel(), jax.random.PRNGKey(1), sample)
+    assert is_plain_stage(plain) is True
+    assert is_plain_stage(fgvc) is False
+    assert is_plain_stage({"params": {}}) is False
