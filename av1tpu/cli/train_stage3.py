@@ -122,6 +122,7 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
             )
         value = ev.metrics["macro_f1"]
         history.append({"epoch": epoch, "train_loss": tr.loss,
+                        "val_loss": ev.loss,
                         "val_metrics": ev.metrics,
                         "throughput": tr.throughput,
                         "train_seconds": tr.seconds})

@@ -181,7 +181,9 @@ def bench_tpu() -> dict:
         models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype,
         folded=True,
     )
-    thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=20)
+    # 50 iters: at 20 the gated figure swings ~30% run to run on a
+    # dispatch-noisy host (observed 1.6M-2.3M); the headline uses 50 too
+    thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=50)
     results["gated_capacity_0.5"] = round(thr_gated, 1)
 
     _progress("device sections done")
