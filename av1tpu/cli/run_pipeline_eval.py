@@ -182,6 +182,16 @@ def main(argv=None) -> None:
                         help="disable the default all-local-devices mesh")
     args = parser.parse_args(argv)
 
+    if args.variant != "v6":
+        # these serving paths are only built by build_v6; silently ignoring
+        # them would report plain-flax numbers under an int8/folded-looking
+        # invocation (advisor finding, round 2)
+        for flag in ("int8", "folded"):
+            if getattr(args, flag):
+                parser.error(f"--{flag} is only supported with --variant v6")
+        if args.capacity is not None:
+            parser.error("--capacity is only supported with --variant v6")
+
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     from av1tpu.parallel.mesh import default_mesh
 

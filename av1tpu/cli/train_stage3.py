@@ -73,13 +73,14 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
     from av1tpu.train.trainer import (
         resident_eligible,
         resident_eval_arrays,
+        resident_train_arrays,
         run_eval_resident,
         run_train_epoch_resident,
         scan_epoch_fn,
         scan_eval_fn,
     )
 
-    resident = resident_eligible(arrays, mesh)
+    resident = resident_eligible(arrays, mesh, args.batch_size)
     if resident:
         epoch_fn = scan_epoch_fn(
             make_fgvc_train_step(model, optimizer, jit=False), 4
@@ -91,8 +92,8 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
             )(raw_eval(s, b)),
             4,
         )
-        device_arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-        device_val, n_val = resident_eval_arrays(val_arrays)
+        device_arrays = resident_train_arrays(arrays, mesh)
+        device_val, n_val = resident_eval_arrays(val_arrays, mesh)
     else:
         train_step = make_fgvc_train_step(model, optimizer)
         eval_step = make_fgvc_eval_step(model)
@@ -106,10 +107,11 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
             state, tr = run_train_epoch_resident(
                 epoch_fn, state, device_arrays, args.batch_size, ek,
                 epoch_seed=args.seed + epoch, num_classes=4,
-                balance_labels=arrays["stage3_AB"],
+                balance_labels=arrays["stage3_AB"], mesh=mesh,
             )
             ev = run_eval_resident(
-                eval_fn, state, device_val, n_val, args.batch_size, 4
+                eval_fn, state, device_val, n_val, args.batch_size, 4,
+                mesh=mesh,
             )
         else:
             state, tr = run_train_epoch(

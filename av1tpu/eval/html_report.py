@@ -75,6 +75,11 @@ def _style_axes(ax):
 def plot_threshold_sweep(rows: Sequence[Mapping]) -> str:
     """F1 / precision / recall vs stage-1 threshold (+ calibrated F1 when
     present); the best-F1 operating point gets a direct label."""
+    if not rows:
+        raise ValueError(
+            "threshold sweep has no data rows — re-run optimize_thresholds "
+            "or point --sweep at its output directory"
+        )
     thr = [float(r["threshold"]) for r in rows]
     fig, ax = plt.subplots(figsize=(6.4, 3.6))
     series = [("f1", "F1"), ("precision", "precision"), ("recall", "recall")]
@@ -282,9 +287,17 @@ def load_sweep(sweep_dir: Path):
     sweep_dir = Path(sweep_dir)
     csv_path = (sweep_dir if sweep_dir.suffix == ".csv"
                 else sweep_dir / "threshold_sweep.csv")
+    def coerce(v):
+        # pass non-numeric columns through untouched instead of crashing
+        # the report CLI on a hand-edited sweep file (advisor finding)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
     with csv_path.open() as f:
         rows = [
-            {k: float(v) for k, v in row.items()}
+            {k: coerce(v) for k, v in row.items()}
             for row in csv.DictReader(f)
         ]
     summary = None

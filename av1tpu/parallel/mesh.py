@@ -83,6 +83,32 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def assemble_global_batch(local_batch, mesh: Mesh):
+    """Build globally-sharded batch arrays from THIS process's local shard.
+
+    Multi-process (real multi-host): each host contributes its
+    ``global_batch / process_count`` rows via
+    ``jax.make_array_from_process_local_data`` — the per-host locals become
+    the host's addressable shards of one global array (global batch =
+    local rows x hosts), with NO cross-host data transfer. Single-process:
+    the local data IS the global batch; a plain sharded ``device_put``.
+
+    This replaces the raw ``device_put`` the round-2 epoch loop used, which
+    raises for non-addressable devices on real multi-process meshes.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            local_batch,
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), local_batch
+    )
+
+
 def param_partition_spec(
     path: Tuple[str, ...], value, num_model: int, min_shard_dim: int = 256
 ) -> P:
@@ -155,6 +181,7 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "assemble_global_batch",
     "batch_sharding",
     "default_mesh",
     "distributed_init",

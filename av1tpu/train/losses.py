@@ -24,15 +24,17 @@ def binary_focal_loss(
     """Binary focal loss (Lin et al., 2017).
 
     Parity: v6 ``FocalLoss`` binary branch (losses.py:29-38):
-    ``alpha_t * (1-p_t)^gamma * BCE``.
+    ``alpha_t * (1-p_t)^gamma * BCE``. Negative targets (eval padding)
+    contribute nothing, matching the multiclass losses.
     """
-    targets = targets.astype(logits.dtype)
+    raw_targets = targets
+    targets = jnp.clip(targets, 0).astype(logits.dtype)
     bce = optax.sigmoid_binary_cross_entropy(logits, targets)
     probs = jax.nn.sigmoid(logits)
     pt = probs * targets + (1.0 - probs) * (1.0 - targets)
     alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
     loss = alpha_t * (1.0 - pt) ** gamma * bce
-    return _reduce(loss, reduction)
+    return _reduce_valid(loss, raw_targets, reduction)
 
 
 def multiclass_focal_loss(
@@ -110,8 +112,10 @@ def stage1_focal_bce_v5(
     logits, targets, pos_weight: float = 1.0, gamma: float = 0.0, reduction: str = "mean"
 ):
     """v5 stage-1 loss: BCE-with-logits with pos_weight and an optional
-    focal factor (parity: train_stage.py:74-88)."""
-    targets = targets.astype(logits.dtype)
+    focal factor (parity: train_stage.py:74-88). Negative targets (eval
+    padding) contribute nothing."""
+    raw_targets = targets
+    targets = jnp.clip(targets, 0).astype(logits.dtype)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     bce = -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
@@ -119,7 +123,7 @@ def stage1_focal_bce_v5(
         probs = jax.nn.sigmoid(logits)
         pt = probs * targets + (1.0 - probs) * (1.0 - targets)
         bce = (1.0 - pt) ** gamma * bce
-    return _reduce(bce, reduction)
+    return _reduce_valid(bce, raw_targets, reduction)
 
 
 def hard_negative_mining_loss(

@@ -72,6 +72,7 @@ from av1tpu.train.trainer import (
     make_train_step,
     resident_eligible,
     resident_eval_arrays,
+    resident_train_arrays,
     run_eval,
     run_eval_resident,
     run_train_epoch,
@@ -134,6 +135,9 @@ class StageRecipe:
     # Feed per-sample QP (normalized) into the model's QPEmbedding path
     # (v5 family; reference quirk Q6 kept this dormant).
     use_qp: bool = False
+    # Whole-batch mixing augmentation (Mixup/CutMix): (key, images) ->
+    # (mixed, perm, lam); see StepConfig.batch_mix.
+    batch_mix: Optional[Callable] = None
 
 
 @dataclass
@@ -252,13 +256,18 @@ def train_stage(
     val_arrays = _bundle_arrays(val_bundle, recipe.label_key, recipe.use_qp)
     balance_labels = arrays[recipe.label_key] if recipe.balance else None
 
-    resident = resident_eligible(arrays, mesh)
+    resident = resident_eligible(arrays, mesh, recipe.batch_size)
     device_arrays = (
-        {k: jnp.asarray(v) for k, v in arrays.items()} if resident else None
+        resident_train_arrays(arrays, mesh) if resident else None
     )
     if resident:
+        where = (
+            f"sharded over mesh {dict(mesh.shape)}" if mesh is not None
+            else "single device"
+        )
         log(f"[{recipe.name}] device-resident data "
-            f"({sum(a.nbytes for a in arrays.values()) / 2**20:.0f} MiB)")
+            f"({sum(a.nbytes for a in arrays.values()) / 2**20:.0f} MiB, "
+            f"{where})")
 
     cfg = StepConfig(
         loss_fn=recipe.loss_fn,
@@ -270,10 +279,11 @@ def train_stage(
         apply_kwargs=dict(recipe.apply_kwargs),
         logits_fn=recipe.logits_fn,
         use_qp=recipe.use_qp,
+        batch_mix=recipe.batch_mix,
     )
     if resident:
         eval_epoch_fn = make_eval_epoch_fn(model, cfg)
-        device_val, n_val = resident_eval_arrays(val_arrays)
+        device_val, n_val = resident_eval_arrays(val_arrays, mesh)
     else:
         eval_step = make_eval_step(model, cfg)
 
@@ -343,7 +353,7 @@ def train_stage(
                     epoch_fn, state, device_arrays, recipe.batch_size,
                     epoch_key, epoch_seed=seed + epoch_global,
                     num_classes=recipe.num_classes,
-                    balance_labels=balance_labels,
+                    balance_labels=balance_labels, mesh=mesh,
                 )
             else:
                 state, tr = run_train_epoch(
@@ -355,7 +365,7 @@ def train_stage(
             if resident:
                 ev = run_eval_resident(
                     eval_epoch_fn, state, device_val, n_val,
-                    recipe.batch_size, recipe.num_classes,
+                    recipe.batch_size, recipe.num_classes, mesh=mesh,
                 )
             else:
                 ev = run_eval(
@@ -693,14 +703,25 @@ def stage3_ab_fgvc_recipe(
     )
 
 
-def stage3_ab_ensemble_recipe(seed_offset: int = 0, **kw) -> StageRecipe:
-    """One AB-ensemble member: plain Stage3ABModel + focal, distinct seeds
-    (parity: 006_train_stage3_ab_ensemble_reference.py)."""
+def stage3_ab_ensemble_recipe(
+    seed_offset: int = 0, mixup_alpha: float = 0.4, **kw
+) -> StageRecipe:
+    """One AB-ensemble member: plain Stage3ABModel + Mixup-wrapped focal,
+    distinct seeds (parity: 006_train_stage3_ab_ensemble_reference.py —
+    members train with ``MixupLoss(focal, alpha=0.4)``, :52-80). Set
+    ``mixup_alpha=0`` to disable the mixing."""
+    from av1tpu.train.losses import mixup_batch
+
     recipe = stage3_ab_fgvc_recipe(**kw)
+    batch_mix = (
+        (lambda key, images: mixup_batch(key, images, mixup_alpha))
+        if mixup_alpha > 0 else None
+    )
     return replace(
         recipe,
         name=f"stage3_ab_member{seed_offset}",
         model=Stage3ABModel(),
+        batch_mix=batch_mix,
     )
 
 

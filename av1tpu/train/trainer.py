@@ -33,12 +33,7 @@ from av1tpu.data.sampling import (
     host_shard,
     shuffled_epoch_indices,
 )
-from av1tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    place_params,
-    replicated,
-)
+from av1tpu.parallel.mesh import replicated
 
 
 class TrainState(struct.PyTreeNode):
@@ -80,6 +75,12 @@ class StepConfig:
     # multi-head HierarchicalOutputs): (outputs) -> logits array used for
     # predictions. Defaults to the outputs themselves.
     logits_fn: Optional[Callable] = None
+    # Optional whole-batch mixing augmentation applied after the per-sample
+    # augment: (key, images) -> (mixed_images, perm, lam). The loss becomes
+    # lam * loss(labels) + (1-lam) * loss(labels[perm]) — the Mixup/CutMix
+    # family (reference MixupLoss, v6 losses.py:96-122). Train-only; eval
+    # and confusion metrics use the unmixed labels.
+    batch_mix: Optional[Callable] = None
 
     def predictions(self, outputs):
         logits = self.logits_fn(outputs) if self.logits_fn else outputs
@@ -115,6 +116,11 @@ def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
             keys = jax.random.split(aug_key, images.shape[0])
             images = jax.vmap(cfg.augment)(keys, images)
 
+        perm = lam = None
+        if cfg.batch_mix is not None:
+            aug_key, mix_key = jax.random.split(aug_key)
+            images, perm, lam = cfg.batch_mix(mix_key, images)
+
         apply_args = (images,)
         if cfg.use_qp:
             apply_args = (images, batch["qp"].astype(jnp.float32) / 255.0)
@@ -126,7 +132,12 @@ def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
             rngs={"dropout": dropout_key},
             **cfg.apply_kwargs,
         )
-        loss = cfg.loss_fn(outputs, labels)
+        if perm is not None:
+            from av1tpu.train.losses import mixed_loss
+
+            loss = mixed_loss(cfg.loss_fn, outputs, labels, perm, lam)
+        else:
+            loss = cfg.loss_fn(outputs, labels)
         preds = cfg.predictions(outputs)
         conf = confusion_matrix(labels, preds, cfg.num_classes)
         return loss, (mutated["batch_stats"], conf)
@@ -175,23 +186,75 @@ def make_epoch_fn(model, optimizer, cfg: StepConfig):
 
 
 # Device-resident training engages automatically below this dataset size;
-# above it — or with AV1TPU_STREAM_DATA=1, a mesh, or multiple hosts — the
-# streaming per-batch path runs instead. 4 GiB leaves generous HBM headroom
-# on a 16 GiB chip next to model/optimizer state.
+# above it — or with AV1TPU_STREAM_DATA=1 or multiple hosts — the streaming
+# per-batch path runs instead. 4 GiB leaves generous HBM headroom on a
+# 16 GiB chip next to model/optimizer state. Under a mesh the dataset is
+# replicated per device, so the budget stays a per-chip figure.
 RESIDENT_MAX_BYTES = int(
     os.environ.get("AV1TPU_RESIDENT_MAX_BYTES", 4 * 1024**3)
 )
 
 
-def resident_eligible(arrays, mesh) -> bool:
+def resident_eligible(arrays, mesh, batch_size: Optional[int] = None) -> bool:
     """Single policy for choosing the device-resident epoch path, shared
-    by train_stage and the FGVC trainer."""
-    return (
-        mesh is None
-        and jax.process_count() == 1
-        and os.environ.get("AV1TPU_STREAM_DATA", "") not in ("1", "true")
-        and sum(a.nbytes for a in arrays.values()) <= RESIDENT_MAX_BYTES
+    by train_stage and the FGVC trainer.
+
+    A single-process mesh keeps the resident path (round-2 gap: giving the
+    trainer a mesh used to forfeit the ~15x resident-scan win): the dataset
+    replicates per device and the epoch scan's batches shard over the data
+    axis, so grads all-reduce across chips inside the one-dispatch epoch.
+    Multi-host and non-divisible ``batch_size`` fall back to streaming.
+    """
+    if jax.process_count() != 1:
+        return False
+    if os.environ.get("AV1TPU_STREAM_DATA", "") in ("1", "true"):
+        return False
+    if mesh is not None and batch_size is not None:
+        from av1tpu.parallel.mesh import DATA_AXIS
+
+        num_data = dict(mesh.shape).get(DATA_AXIS, 1)
+        if num_data > 1 and batch_size % num_data:
+            return False
+    return sum(a.nbytes for a in arrays.values()) <= RESIDENT_MAX_BYTES
+
+
+def resident_train_arrays(arrays: Mapping[str, np.ndarray], mesh=None):
+    """Upload the train set for the resident epoch scan. With a mesh the
+    arrays replicate across devices (each device gathers its batch shard
+    locally — arbitrary balanced-sampler gathers never cross chips)."""
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+    sharding = replicated(mesh)
+    return {
+        k: jax.device_put(np.asarray(v), sharding) for k, v in arrays.items()
+    }
+
+
+def place_state(state: "TrainState", mesh) -> "TrainState":
+    """Replicate a TrainState over the mesh (no-op when already placed).
+    Params/opt-state replicate — DP is the strategy for this model family
+    (SURVEY §2.3); batches shard, grads all-reduce via GSPMD."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if isinstance(x, jax.Array)
+        else x,
+        state,
     )
+
+
+def _resident_idx_mat(indices: np.ndarray, steps: int, batch_size: int, mesh):
+    """(steps, batch) index matrix; batch dimension sharded over the data
+    axis so every scan step's gathered batch is already distributed."""
+    mat = np.ascontiguousarray(
+        indices[: steps * batch_size].reshape(steps, batch_size), dtype=np.int32
+    )
+    if mesh is None:
+        return jnp.asarray(mat)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from av1tpu.parallel.mesh import DATA_AXIS
+
+    return jax.device_put(mat, NamedSharding(mesh, P(None, DATA_AXIS)))
 
 
 def scan_epoch_fn(step_fn, num_classes: int):
@@ -282,17 +345,23 @@ def scan_eval_fn(eval_body, num_classes: int):
     return run
 
 
-def resident_eval_arrays(arrays: Mapping[str, np.ndarray]):
+def resident_eval_arrays(arrays: Mapping[str, np.ndarray], mesh=None):
     """Upload a val set for :func:`make_eval_epoch_fn`: one poison row
     (zero sample, labels ``-1``) appended at index n, the pad target for
-    the final partial batch. Returns ``(device_arrays, n_valid)``."""
+    the final partial batch. Returns ``(device_arrays, n_valid)``. With a
+    mesh the arrays replicate (same layout as the resident train set)."""
     n = len(next(iter(arrays.values())))
+    sharding = replicated(mesh) if mesh is not None else None
     out = {}
     for k, v in arrays.items():
         row = np.zeros_like(v[:1]) if k in ("samples", "qp") else np.full_like(
             v[:1], -1
         )
-        out[k] = jnp.asarray(np.concatenate([v, row], axis=0))
+        host = np.concatenate([v, row], axis=0)
+        out[k] = (
+            jax.device_put(host, sharding) if sharding is not None
+            else jnp.asarray(host)
+        )
     return out, n
 
 
@@ -303,13 +372,15 @@ def run_eval_resident(
     n_valid: int,
     batch_size: int,
     num_classes: int,
+    mesh=None,
 ) -> EpochResult:
     """Resident counterpart of :func:`run_eval`; identical confusion (the
-    poison padding is label-masked like the streaming path's -1 pads)."""
+    poison padding is label-masked like the streaming path's -1 pads).
+    ``mesh`` shards each scan step's batch over the data axis."""
     steps = max(1, -(-n_valid // batch_size))
     idx = np.full(steps * batch_size, n_valid, dtype=np.int32)
     idx[:n_valid] = np.arange(n_valid, dtype=np.int32)
-    idx_mat = jnp.asarray(idx.reshape(steps, batch_size))
+    idx_mat = _resident_idx_mat(idx, steps, batch_size, mesh)
     start = time.perf_counter()
     loss_sum, conf_sum = eval_epoch_fn(state, device_arrays, idx_mat)
     conf_host = np.asarray(conf_sum)
@@ -438,10 +509,17 @@ def run_train_epoch(
 
     Multi-host contract: every process derives the identical global epoch
     order from ``epoch_seed`` (all sampling is deterministic in it), then
-    trains on its contiguous ``host_shard`` slice — together the hosts
-    realize exactly the single-host class balance with no inter-host
-    communication. Defaults read ``jax.process_index()/count()``; tests
-    pass them explicitly to simulate multiple hosts in one process.
+    trains on its contiguous ``host_shard`` slice. On a real multi-process
+    mesh each step assembles ONE global batch from the per-host local
+    slices (``batch_size`` stays the GLOBAL batch; every host feeds
+    ``batch_size / process_count`` rows through
+    ``jax.make_array_from_process_local_data`` — no raw ``device_put``
+    against non-addressable devices). Together the hosts realize exactly
+    the single-host class balance with no inter-host data movement.
+    Defaults read ``jax.process_index()/count()``; tests pass them
+    explicitly to simulate multiple hosts in one process (each simulated
+    host then runs its own full-batch epoch — assembly semantics are
+    covered by the layout test in test_sharding).
     """
     n = len(next(iter(arrays.values())))
     if balance_labels is not None:
@@ -455,19 +533,31 @@ def run_train_epoch(
     if process_count > 1:
         indices = host_shard(indices, process_index, process_count)
 
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    # Real multi-process run: each host iterates its LOCAL slice of the
+    # global batch; assemble_global_batch glues the slices into the global
+    # sharded array. Simulated multi-host (single process) keeps the full
+    # batch per "host".
+    local_batch = batch_size
+    if mesh is not None and jax.process_count() > 1:
+        if batch_size % jax.process_count():
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{jax.process_count()} processes"
+            )
+        local_batch = batch_size // jax.process_count()
+
+    from av1tpu.parallel.mesh import assemble_global_batch
+
     # Metric totals stay on device and accumulate lazily — pulling them to
     # host per step would force a sync and serialize the step pipeline.
     loss_sum = None
     conf_sum = None
     steps, samples = 0, 0
     start = time.perf_counter()
-    for batch in iterate_batches(arrays, indices, batch_size):
+    for batch in iterate_batches(arrays, indices, local_batch):
         rng_key, step_key = jax.random.split(rng_key)
-        if sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch
-            )
+        if mesh is not None:
+            batch = assemble_global_batch(batch, mesh)
         state, metrics = train_step(state, batch, step_key)
         loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
         conf_sum = (
@@ -499,13 +589,19 @@ def run_train_epoch_resident(
     epoch_seed: int,
     num_classes: int,
     balance_labels: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Tuple[TrainState, EpochResult]:
     """One epoch on the device-resident path (``make_epoch_fn``).
 
     Host work per epoch: index sampling (numpy) + one (steps, batch)
     int32 upload. Sampling, batch order and RNG match ``run_train_epoch``
     exactly (per-step values to ~1 ULP; see ``make_epoch_fn``).
-    Single-host/single-shard only — multi-host keeps the streaming path.
+
+    With ``mesh`` (single-process): batches shard over the data axis via
+    the sharded index matrix; the replicated state and dataset make the
+    scan a standard DP step — XLA all-reduces the grads across chips, and
+    the epoch is still ONE dispatch. Multi-host keeps the streaming path
+    (``resident_eligible`` enforces this).
     """
     n = len(next(iter(device_arrays.values())))
     if balance_labels is not None:
@@ -513,9 +609,9 @@ def run_train_epoch_resident(
     else:
         indices = shuffled_epoch_indices(n, epoch_seed)
     steps = len(indices) // batch_size
-    idx_mat = jnp.asarray(
-        indices[: steps * batch_size].reshape(steps, batch_size), jnp.int32
-    )
+    idx_mat = _resident_idx_mat(indices, steps, batch_size, mesh)
+    if mesh is not None:
+        state = place_state(state, mesh)
     start = time.perf_counter()
     state, loss_sum, conf_sum = epoch_fn(state, device_arrays, idx_mat, rng_key)
     conf_host = np.asarray(conf_sum)  # syncs: the epoch is one dispatch
@@ -538,16 +634,29 @@ def run_eval(
 ) -> EpochResult:
     padded, valid = pad_to_multiple(dict(arrays), batch_size)
     n = len(next(iter(padded.values())))
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    idx = np.arange(n)
+    local_batch = batch_size
+    if mesh is not None and jax.process_count() > 1:
+        # real multi-host: each process feeds its slice of every global
+        # batch; metrics come out global on every host
+        procs = jax.process_count()
+        if batch_size % procs:
+            raise ValueError(
+                f"eval batch {batch_size} not divisible by {procs} processes"
+            )
+        local_batch = batch_size // procs
+        idx = idx.reshape(-1, procs, local_batch)[
+            :, jax.process_index(), :
+        ].reshape(-1)
+    from av1tpu.parallel.mesh import assemble_global_batch
+
     loss_sum, conf_sum, steps = None, None, 0
     start = time.perf_counter()
     for batch in iterate_batches(
-        padded, np.arange(n), batch_size, drop_remainder=False
+        padded, idx, local_batch, drop_remainder=False
     ):
-        if sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch
-            )
+        if mesh is not None:
+            batch = assemble_global_batch(batch, mesh)
         metrics = eval_step(state, batch)
         loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
         conf_sum = (
@@ -581,7 +690,10 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "pad_to_multiple",
+    "place_state",
+    "resident_eligible",
     "resident_eval_arrays",
+    "resident_train_arrays",
     "run_eval",
     "run_eval_resident",
     "scan_epoch_fn",

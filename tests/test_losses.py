@@ -121,6 +121,23 @@ def test_stage1_v5_pos_weight_matches_torch():
     assert abs(got - want) < 1e-5
 
 
+def test_binary_losses_mask_negative_targets():
+    """-1 eval-padding rows must contribute nothing to the binary losses
+    (the multiclass losses already mask; round-2 advisor finding)."""
+    logits = RNG.normal(size=8).astype(np.float32)
+    targets = RNG.integers(0, 2, size=8)
+    padded_logits = np.concatenate(
+        [logits, RNG.normal(size=4).astype(np.float32)]
+    )
+    padded_targets = np.concatenate([targets, np.full(4, -1)])
+    for fn in (binary_focal_loss, stage1_focal_bce_v5):
+        clean = float(fn(jnp.asarray(logits), jnp.asarray(targets)))
+        padded = float(
+            fn(jnp.asarray(padded_logits), jnp.asarray(padded_targets))
+        )
+        assert abs(clean - padded) < 1e-6, fn.__name__
+
+
 def test_hard_negative_mining_keeps_hardest():
     """All positives + top-k hardest negatives, matching the reference
     mean-over-kept semantics on a hand-built case."""

@@ -132,6 +132,189 @@ def test_full_train_step_on_mesh():
 
 
 # ---------------------------------------------------------------------------
+# Mesh-sharded device-resident training (round-3: multi-chip keeps the
+# one-dispatch epoch scan instead of falling back to streaming)
+# ---------------------------------------------------------------------------
+
+def test_resident_epoch_sharded_matches_single_device():
+    """The 8-way sharded resident epoch must equal the single-device
+    resident epoch to ~ULP: same index matrix, same RNG splits, grads
+    all-reduced by GSPMD instead of summed locally.
+
+    SGD, not Adam: Adam's m/sqrt(v) renormalization turns reduction-order
+    noise (~1e-7) on near-zero BN-bias grads into sign-flipped updates,
+    which says nothing about the sharding. Under SGD param deltas stay
+    proportional to grad deltas, so a tight tolerance is meaningful."""
+    import optax
+
+    from av1tpu.train import StepConfig, TrainState, binary_focal_loss
+    from av1tpu.train.trainer import (
+        make_epoch_fn, resident_train_arrays, run_train_epoch_resident,
+    )
+    from tests.test_train import TinyModel, make_synthetic
+
+    mesh = make_mesh()  # all 8 virtual devices
+    model = TinyModel()
+    data = make_synthetic(128)
+    # numpy snapshot: the epoch scan donates state, which aliases variables
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1))),
+    )
+    optimizer = optax.sgd(0.1)
+    cfg = StepConfig(
+        loss_fn=binary_focal_loss, label_key="stage1", binary=True,
+        num_classes=2,
+    )
+
+    def run(mesh_arg):
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, variables), optimizer
+        )
+        epoch_fn = make_epoch_fn(model, optimizer, cfg)
+        device_arrays = resident_train_arrays(dict(data), mesh_arg)
+        return run_train_epoch_resident(
+            epoch_fn, state, device_arrays, batch_size=32,
+            rng_key=jax.random.PRNGKey(7), epoch_seed=3, num_classes=2,
+            mesh=mesh_arg,
+        )
+
+    state_single, res_single = run(None)
+    state_sharded, res_sharded = run(mesh)
+
+    assert abs(res_single.loss - res_sharded.loss) < 1e-5
+    # confusion totals identical (integer counts)
+    single_conf = np.asarray(res_single.metrics["support"])
+    sharded_conf = np.asarray(res_sharded.metrics["support"])
+    np.testing.assert_array_equal(single_conf, sharded_conf)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_single.params),
+        jax.tree_util.tree_leaves(state_sharded.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_train_stage_with_mesh_takes_resident_path():
+    """train_stage(mesh=...) must keep the resident scan (round-2 weakness:
+    a mesh silently dropped to the ~15x-slower streaming path). 2-device
+    mesh to bound the ResNet compile cost on CPU."""
+    from av1tpu.train.stages import stage1_recipe, train_stage
+    from tests.test_stages import make_bundle, small
+
+    mesh = make_mesh(num_data=2, devices=jax.devices()[:2])
+    labels = np.tile([0, 3], 32)
+    train_b = make_bundle(labels)
+    val_b = make_bundle(labels, seed=1)
+    recipe = small(stage1_recipe(epochs=1, steps_per_epoch=4))
+
+    logs = []
+    result = train_stage(
+        recipe, train_b, val_b, seed=0, mesh=mesh, log=logs.append
+    )
+    assert any("device-resident" in m and "mesh" in m for m in logs), logs
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_multihost_batch_assembly_layout_and_step():
+    """Real-multi-host batch assembly semantics, simulated on one process.
+
+    ``run_train_epoch`` assembles each global batch from per-host local
+    slices via ``jax.make_array_from_process_local_data``; that API fills
+    each process's addressable shards with its local rows. This test pins
+    the two facts that make the per-host ``host_shard`` slices correct:
+    (1) under batch sharding the first-half devices own the first half of
+    global rows (contiguous per-host slices), and (2) a train step on a
+    globally-assembled-from-locals batch equals the step on the plain
+    single-host batch.
+    """
+    from av1tpu.train import (
+        StepConfig, TrainState, adamw, binary_focal_loss, make_train_step,
+    )
+    from tests.test_train import TinyModel, make_synthetic
+
+    mesh = make_mesh()
+    devices = list(np.asarray(mesh.devices).reshape(-1))
+    n, hosts = 32, 2
+    per_host = n // hosts
+
+    # (1) contiguous per-host global row ownership
+    sharding = batch_sharding(mesh)
+    idx_map = sharding.devices_indices_map((n, 4, 4, 1))
+    for h in range(hosts):
+        host_devs = devices[h * 4:(h + 1) * 4]
+        starts = sorted(idx_map[d][0].start for d in host_devs)
+        stops = sorted(idx_map[d][0].stop for d in host_devs)
+        assert starts[0] == h * per_host and stops[-1] == (h + 1) * per_host
+
+    # (2) step on assembled-from-locals == step on the plain global batch
+    data = make_synthetic(n)
+    host_locals = [
+        {k: v[h * per_host:(h + 1) * per_host] for k, v in data.items()}
+        for h in range(hosts)
+    ]
+
+    def assemble(tree_locals):
+        out = {}
+        for k in tree_locals[0]:
+            full_shape = (n,) + tree_locals[0][k].shape[1:]
+            arr_sharding = batch_sharding(mesh)
+            dev_map = arr_sharding.devices_indices_map(full_shape)
+            shards = []
+            for h, local in enumerate(tree_locals):
+                for d in devices[h * 4:(h + 1) * 4]:
+                    sl = dev_map[d][0]
+                    piece = local[k][sl.start - h * per_host:
+                                     sl.stop - h * per_host]
+                    shards.append(jax.device_put(piece, d))
+            out[k] = jax.make_array_from_single_device_arrays(
+                full_shape, arr_sharding, shards
+            )
+        return out
+
+    assembled = assemble(host_locals)
+    for k, v in assembled.items():
+        np.testing.assert_array_equal(np.asarray(v), data[k])
+
+    model = TinyModel()
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1))),
+    )
+    optimizer = adamw(1e-3)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+    step = make_train_step(model, optimizer, cfg)
+
+    def fresh_state():
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, variables), optimizer
+        )
+
+    s_a, m_a = step(fresh_state(), assembled, jax.random.PRNGKey(1))
+    s_b, m_b = step(
+        fresh_state(), shard_batch(dict(data), mesh), jax.random.PRNGKey(1)
+    )
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-6
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resident_eligibility_policy():
+    from av1tpu.train.trainer import resident_eligible
+
+    arrays = {"samples": np.zeros((8, 4, 4, 1), np.uint16)}
+    mesh = make_mesh()
+    assert resident_eligible(arrays, mesh, 32)
+    assert not resident_eligible(arrays, mesh, 30)  # 30 % 8 != 0 -> stream
+    assert resident_eligible(arrays, None, 30)
+    assert resident_eligible(arrays, mesh)  # no batch hint: size rule only
+
+
+# ---------------------------------------------------------------------------
 # Sharded fused inference (round-2: mesh-parallel eval graphs)
 # ---------------------------------------------------------------------------
 

@@ -141,6 +141,26 @@ def test_v5_stage3_ab_freezes_other_heads():
     assert np.isfinite(result.history[0]["val_loss"])
 
 
+def test_ab_ensemble_member_trains_with_mixup():
+    """Ensemble members wrap focal in Mixup (parity:
+    006_..._ensemble_reference.py:52-80); the recipe must carry the
+    batch_mix hook and still train to a finite loss."""
+    from av1tpu.train.stages import stage3_ab_ensemble_recipe
+
+    recipe = stage3_ab_ensemble_recipe(
+        seed_offset=1, freeze_epochs=1, unfreeze_epochs=0, steps_per_epoch=2
+    )
+    assert recipe.batch_mix is not None
+    assert recipe.name == "stage3_ab_member1"
+    assert stage3_ab_ensemble_recipe(mixup_alpha=0.0).batch_mix is None
+
+    labels = np.tile([4, 5, 6, 7], 16)  # AB classes
+    train_b = filter_stage3(make_bundle(labels), "AB")
+    val_b = filter_stage3(make_bundle(labels, seed=1), "AB")
+    result = train_stage(small(recipe), train_b, val_b, seed=0)
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+
 def test_pipeline_aware_filter():
     labels = np.tile([0, 3], 32)
     bundle = make_bundle(labels)

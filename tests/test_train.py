@@ -93,6 +93,45 @@ def test_balanced_sampling_path():
     assert np.isfinite(result.loss)
 
 
+def test_batch_mix_hook_applies_mixed_loss():
+    """StepConfig.batch_mix (Mixup family) must combine the loss as
+    lam*loss(y) + (1-lam)*loss(y[perm]) over the mixed images."""
+    model = TinyModel()
+    data = make_synthetic(32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
+    optimizer = adamw(1e-3)
+    lam = 0.7
+
+    def fixed_mix(key, images):
+        perm = jnp.arange(images.shape[0])[::-1]
+        return lam * images + (1 - lam) * images[perm], perm, lam
+
+    cfg = StepConfig(
+        loss_fn=binary_focal_loss, label_key="stage1", binary=True,
+        batch_mix=fixed_mix,
+    )
+    step = make_train_step(model, optimizer, cfg)
+
+    # manual expectation first: the jitted step donates the state buffers,
+    # which alias variables["params"]
+    images = jnp.asarray(data["samples"].astype(np.float32) / 1023.0)
+    mixed = lam * images + (1 - lam) * images[::-1]
+    labels = jnp.asarray(data["stage1"])
+    outputs, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        mixed, train=True, mutable=["batch_stats"],
+    )
+    want = float(
+        lam * binary_focal_loss(outputs, labels)
+        + (1 - lam) * binary_focal_loss(outputs, labels[::-1])
+    )
+
+    state = TrainState.create(variables, optimizer)
+    _, metrics = step(state, data, jax.random.PRNGKey(3))
+    assert abs(float(metrics["loss"]) - want) < 1e-5
+
+
 def test_ulmfit_phase1_freezes_backbone():
     model = TinyModel()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)))
