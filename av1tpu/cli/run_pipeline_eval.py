@@ -148,12 +148,20 @@ def main(argv=None) -> None:
                         "soft-vote the AB stage over its members")
     parser.add_argument("--tta", action="store_true",
                         help="average each stage over 4 TTA views")
-    parser.add_argument("--capacity", type=float, default=None,
+    parser.add_argument("--capacity", type=str, default=None,
                         help="v6 only: fixed-capacity gated inference — run "
                         "stages 2/3 on only this fraction of the batch "
                         "(top-K by gate probability). Bit-identical to dense "
                         "when it covers the gate pass rate; ~1.5x throughput "
-                        "at 0.5. Incompatible with --tta/--stage3-ab-ensemble-dir")
+                        "at 0.5. Pass 'auto' to size it from the calibrated "
+                        "gate rate (--calibration-dir) plus --capacity-margin. "
+                        "Incompatible with --tta/--stage3-ab-ensemble-dir")
+    parser.add_argument("--calibration-dir", type=Path, default=None,
+                        help="optimize_thresholds output dir supplying the "
+                        "measured gate rate for --capacity auto")
+    parser.add_argument("--capacity-margin", type=float, default=0.1,
+                        help="safety headroom over the calibrated gate rate "
+                        "for --capacity auto (default 0.1)")
     parser.add_argument("--folded", action="store_true",
                         help="v6 only: BN-folded serving path (eval.folded) "
                         "— same math as the flax graph minus the BN affine; "
@@ -191,6 +199,28 @@ def main(argv=None) -> None:
                 parser.error(f"--{flag} is only supported with --variant v6")
         if args.capacity is not None:
             parser.error("--capacity is only supported with --variant v6")
+
+    if args.capacity is not None:
+        if args.capacity == "auto":
+            # deployment default: size the static top-K from the measured
+            # val gate rate the calibration CLI recorded, plus headroom
+            if args.calibration_dir is None:
+                parser.error("--capacity auto requires --calibration-dir")
+            from av1tpu.eval.gated import auto_capacity
+            from av1tpu.eval.html_report import load_sweep
+
+            rows, _ = load_sweep(args.calibration_dir)
+            args.capacity = auto_capacity(
+                rows, args.stage1_threshold, args.capacity_margin
+            )
+            print(f"auto capacity: {args.capacity:.3f} "
+                  f"(gate rate @ th {args.stage1_threshold} + "
+                  f"{args.capacity_margin:.0%} margin)")
+        else:
+            try:
+                args.capacity = float(args.capacity)
+            except ValueError:
+                parser.error("--capacity must be a float in (0, 1] or 'auto'")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     from av1tpu.parallel.mesh import default_mesh
@@ -278,6 +308,8 @@ def main(argv=None) -> None:
         "threshold": args.stage1_threshold,
         "samples": len(bundle),
         "int8": bool(getattr(args, "int8", False)),
+        "folded": bool(getattr(args, "folded", False)),
+        "capacity": getattr(args, "capacity", None),
         "throughput_superblocks_per_sec": throughput,
         "metrics": metrics,
         "stage1": stage1_metrics,

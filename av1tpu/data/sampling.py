@@ -22,10 +22,13 @@ def effective_number_weights(
 
     Same formula as the reference ``get_class_weights`` / CB-focal buffer
     (``data_hub.py:365-383``, ``losses.py:61-72``): weights are
-    ``(1-beta)/(1-beta^n)``, normalized to sum to ``num_classes``.
+    ``(1-beta)/(1-beta^n)``, normalized to sum to ``num_classes``. Empty
+    classes are clamped to count 1 — their weight multiplies no sample's
+    loss, but an inf would poison the normalization of every other class
+    (e.g. block-8 stage-2 never sees SPLIT: 8 is the minimum size).
     """
     counts = np.asarray(counts, dtype=np.float64)
-    effective_num = 1.0 - np.power(beta, counts)
+    effective_num = 1.0 - np.power(beta, np.maximum(counts, 1.0))
     weights = (1.0 - beta) / effective_num
     return (weights / weights.sum() * len(weights)).astype(np.float32)
 

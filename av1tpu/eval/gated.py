@@ -29,6 +29,34 @@ from av1tpu.data.records import NORM_10BIT
 from av1tpu.eval.hierarchy import PipelineModels
 
 
+def auto_capacity(
+    sweep_rows, threshold: float, margin: float = 0.1
+) -> float:
+    """Derive the gated-serving capacity from a calibration sweep.
+
+    Picks the sweep row nearest the serving threshold and returns its
+    measured gate pass rate scaled by ``1 + margin`` (clipped to 1.0).
+    Whenever the deployment's realized pass rate stays within the margin,
+    gated output is bit-identical to dense (see module docstring); the
+    margin buys headroom against batch-to-batch gate-rate variance at
+    ~linear throughput cost. Rows are ``compute_binary_metrics`` dicts
+    (``optimize_thresholds`` writes them to threshold_sweep.csv /
+    threshold_summary.json).
+    """
+    if not sweep_rows:
+        raise ValueError("empty calibration sweep")
+    row = min(
+        sweep_rows, key=lambda r: abs(float(r["threshold"]) - threshold)
+    )
+    if "gate_rate" in row:
+        rate = float(row["gate_rate"])
+    else:  # sweep written before gate_rate was recorded: derive from counts
+        passed = float(row["tp"]) + float(row["fp"])
+        total = passed + float(row["fn"]) + float(row["tn"])
+        rate = passed / max(total, 1.0)
+    return float(min(1.0, rate * (1.0 + margin)))
+
+
 def make_v6_pipeline_gated(
     models: PipelineModels,
     capacity: float = 0.5,
@@ -152,4 +180,4 @@ def make_v6_pipeline_gated(
     return _jit_with_mesh(predict, mesh)
 
 
-__all__ = ["make_v6_pipeline_gated"]
+__all__ = ["auto_capacity", "make_v6_pipeline_gated"]

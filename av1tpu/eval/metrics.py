@@ -105,6 +105,9 @@ def compute_binary_metrics(
         "fn": fn,
         "tn": tn,
         "threshold": threshold,
+        # fraction of samples passing the stage-1 gate at this threshold —
+        # the quantity capacity-gated serving sizes its static K from
+        "gate_rate": (tp + fp) / max(len(y_true), 1),
     }
 
 

@@ -545,6 +545,10 @@ def run_train_epoch(
                 f"{jax.process_count()} processes"
             )
         local_batch = batch_size // jax.process_count()
+    if len(indices) < local_batch:
+        # dataset smaller than one batch (tiny specialist splits): train
+        # one wraparound batch instead of zero steps
+        indices = np.resize(indices, local_batch)
 
     from av1tpu.parallel.mesh import assemble_global_batch
 
@@ -608,6 +612,10 @@ def run_train_epoch_resident(
         indices = balanced_epoch_indices(balance_labels, epoch_seed)
     else:
         indices = shuffled_epoch_indices(n, epoch_seed)
+    if len(indices) < batch_size:
+        # dataset smaller than one batch (tiny specialist splits): train
+        # one full batch with wraparound instead of zero steps
+        indices = np.resize(indices, batch_size)
     steps = len(indices) // batch_size
     idx_mat = _resident_idx_mat(indices, steps, batch_size, mesh)
     if mesh is not None:

@@ -176,6 +176,9 @@ def bench_tpu() -> dict:
             "throughput": round(thr, 1),
             "mfu": round(m, 4) if m else None,
         }
+    _progress("composed 4-level tree cascade (device-resident superblocks)")
+    results["tree_cascade"] = bench_tree_cascade(models, dtype)
+
     _progress("gated capacity 0.5 (folded)")
     gated = make_v6_pipeline_gated(
         models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype,
@@ -188,6 +191,87 @@ def bench_tpu() -> dict:
 
     _progress("device sections done")
     return results
+
+
+def bench_tree_cascade(models, dtype, n_superblocks: int = 256, iters: int = 20):
+    """The north-star composition graph, fused into ONE jit dispatch:
+    64x64 superblocks resident in HBM -> on-device quad tiling -> the
+    BN-folded v6 pipeline at every level of the 64->32->16->8 hierarchy ->
+    masked 85-slot tree assembly (codec.tree.assemble_trees). Per
+    superblock that is 85 hierarchical block decisions (1+4+16+64).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.codec.partitions import V6_FINAL_TO_RAW
+    from av1tpu.codec.tree import LEVEL_SIZES, NODES_PER_LEVEL, assemble_trees
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    predict = make_v6_pipeline_folded(
+        models, stage1_threshold=0.45, float_dtype=dtype
+    )
+    remap = jnp.asarray(V6_FINAL_TO_RAW)
+
+    def quad_tile(sbs, size):
+        current = sbs[:, None]
+        cur = 64
+        while cur > size:
+            half = cur // 2
+            nn = current.shape[1]
+            quads = jnp.stack(
+                [
+                    current[:, :, :half, :half],
+                    current[:, :, :half, half:],
+                    current[:, :, half:, :half],
+                    current[:, :, half:, half:],
+                ],
+                axis=2,
+            )
+            current = quads.reshape(sbs.shape[0], nn * 4, half, half)
+            cur = half
+        return current.reshape(-1, size, size)[..., None]
+
+    @jax.jit
+    def cascade(sbs):
+        level_modes = []
+        for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
+            out = predict(quad_tile(sbs, size))
+            level_modes.append(
+                remap[out["final"]].reshape(sbs.shape[0], nodes)
+            )
+        return assemble_trees(level_modes)
+
+    sbs = jnp.asarray(
+        np.random.default_rng(3).integers(
+            0, 1024, size=(n_superblocks, 64, 64)
+        ),
+        dtype=jnp.uint16,
+    )
+    for _ in range(WARMUP_ITERS):
+        trees = cascade(sbs)
+    jax.block_until_ready(trees)
+    start = time.perf_counter()
+    for _ in range(iters):
+        trees = cascade(sbs)
+    jax.block_until_ready(trees)
+    seconds = time.perf_counter() - start
+    trees_per_sec = n_superblocks * iters / seconds
+
+    mfu = None
+    try:
+        cost = cascade.lower(sbs).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            mfu = (flops / n_superblocks) * trees_per_sec / V5E_BF16_PEAK_FLOPS
+    except Exception:
+        pass
+    return {
+        "trees_per_sec": round(trees_per_sec, 1),
+        "mfu": round(mfu, 4) if mfu else None,
+        "superblocks_per_dispatch": n_superblocks,
+    }
 
 
 def bench_torch_cpu_reference(num_samples: int = 512, batch: int = 256) -> float:
@@ -275,6 +359,7 @@ def main() -> None:
                 "per_block_px": results["per_block_px"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
                 "flax_graph": results["flax_graph"],
+                "tree_cascade": results["tree_cascade"],
             }
         )
     )

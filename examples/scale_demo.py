@@ -46,6 +46,7 @@ def main():
     from av1tpu.data.synth import reference_shaped_corpus
     from av1tpu.cli import (
         analyze_confusion,
+        certify_serving,
         optimize_thresholds,
         prepare_stage3,
         run_pipeline_eval,
@@ -213,6 +214,28 @@ def main():
     results["stages"]["pipeline_flatten"].update({
         "accuracy": round(pf["metrics"]["accuracy"], 4),
         "macro_f1": round(pf["metrics"]["macro_f1"], 4),
+    })
+
+    # --- serving-path certification (dense/folded/int8/gated-auto) ---------------
+    cert_dir = out / "certify_serving"
+    step("certify_serving", certify_serving.main, [
+        "--dataset-dir", str(ds), "--block-size", "16",
+        "--output-dir", str(cert_dir),
+        "--stage1-threshold", str(best_threshold),
+        "--stage1-checkpoint", str(s1_ckpt),
+        "--stage2-checkpoint", str(s2_ckpt),
+        "--stage3-rect-checkpoint", str(rect_ckpt),
+        "--stage3-ab-checkpoint", str(ab_ckpt),
+        "--calibration-dir", str(calib_dir), *bf16,
+    ])
+    cert = json.loads((cert_dir / "serving_certification.json").read_text())
+    results["stages"]["certify_serving"].update({
+        r["variant"]: {
+            "accuracy": round(r["accuracy"], 4),
+            "macro_f1": round(r["macro_f1"], 4),
+            "agreement_vs_flax": round(r["agreement_vs_flax"], 6),
+        }
+        for r in cert["rows"]
     })
 
     # --- confusion analysis -------------------------------------------------------

@@ -1,0 +1,237 @@
+"""North-star measurement: per-size ladders + composed partition-tree accuracy.
+
+Trains the four per-block-size v6 ladders (64/32/16/8: stage1 + stage2 +
+stage3 RECT + stage3 AB FGVC) on a tree-structured synthetic corpus whose
+ground-truth trees are known by construction (``av1tpu/data/synth_tree.py``
+— per-size training blocks extracted from the SAME superblocks, like the
+real encoder-dump data path), then:
+
+  1. packs held-out superblocks into real YUV 4:2:0 10-bit frames,
+  2. runs the public ``cli.predict_trees`` over them (ingest -> tiling ->
+     4-level cascade -> 85-slot trees),
+  3. scores the predicted trees against ground truth
+     (``eval.tree_metrics``: per-level node accuracy, exact-tree match).
+
+The reference evaluates each block size in isolation
+(``pesquisa_v5/013_run_pipeline_eval.py``); tree composition is this
+framework's own headline claim, measured here for the first time.
+
+    python examples/tree_demo.py --out runs/tree_demo \
+        [--train-superblocks 12000 --val-superblocks 2400]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+FRAME_COLS, FRAME_ROWS = 20, 12          # 1280 x 768: 240 superblocks/frame
+FRAME_W, FRAME_H = FRAME_COLS * 64, FRAME_ROWS * 64
+SB_PER_FRAME = FRAME_COLS * FRAME_ROWS
+
+
+def pack_yuv(superblocks: np.ndarray, path: Path) -> int:
+    """Write superblocks into a yuv420p10le clip, row-major 64px grid per
+    frame (matching ingest.tiler.tile_frame order). Returns frame count.
+    Count must be a multiple of SB_PER_FRAME (caller sizes the val set)."""
+    sbs = np.asarray(superblocks)
+    if sbs.ndim == 4:
+        sbs = sbs[..., 0]
+    n = sbs.shape[0]
+    assert n % SB_PER_FRAME == 0, (n, SB_PER_FRAME)
+    frames = n // SB_PER_FRAME
+    uv = np.zeros((FRAME_H // 2, FRAME_W // 2), dtype="<u2")
+    with path.open("wb") as f:
+        for fi in range(frames):
+            grid = sbs[fi * SB_PER_FRAME:(fi + 1) * SB_PER_FRAME]
+            plane = (
+                grid.reshape(FRAME_ROWS, FRAME_COLS, 64, 64)
+                .transpose(0, 2, 1, 3)
+                .reshape(FRAME_H, FRAME_W)
+            )
+            f.write(plane.astype("<u2").tobytes())
+            f.write(uv.tobytes())
+            f.write(uv.tobytes())
+    return frames
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", type=Path, default=Path("runs/tree_demo"))
+    parser.add_argument("--train-superblocks", type=int, default=12000)
+    parser.add_argument("--val-superblocks", type=int, default=2400,
+                        help="must be a multiple of 240 (superblocks/frame)")
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--stage1-epochs", type=int, default=15)
+    parser.add_argument("--stage2-epochs", type=int, default=15)
+    parser.add_argument("--stage3-epochs", type=int, default=15)
+    parser.add_argument("--freeze-epochs", type=int, default=3)
+    parser.add_argument("--stage1-threshold", type=float, default=0.45)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--sizes", type=int, nargs="+",
+                        default=[64, 32, 16, 8])
+    args = parser.parse_args()
+    assert args.val_superblocks % SB_PER_FRAME == 0
+
+    from av1tpu.cli import predict_trees, prepare_stage3, train_stage1, \
+        train_stage2, train_stage3
+    from av1tpu.data import build_v6_bundle
+    from av1tpu.data.bundles import save_split
+    from av1tpu.data.synth_tree import tree_corpus
+    from av1tpu.eval.tree_metrics import tree_accuracy
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    results = {"config": vars(args) | {"out": str(out), "sizes": args.sizes},
+               "sizes": {}}
+    bf16 = ["--bf16"] if args.bf16 else []
+
+    def step(name, fn, argv):
+        print(f"\n=== {name} ===", flush=True)
+        t0 = time.perf_counter()
+        fn(argv)
+        dt = time.perf_counter() - t0
+        print(f"=== {name} done in {dt:.1f}s ===", flush=True)
+        return dt
+
+    # --- corpora -------------------------------------------------------------
+    t0 = time.perf_counter()
+    _, train_trees, train_sets = tree_corpus(
+        args.train_superblocks, seed=args.seed
+    )
+    val_sbs, val_trees, val_sets = tree_corpus(
+        args.val_superblocks, seed=args.seed + 1
+    )
+    np.save(out / "val_trees_truth.npy", val_trees)
+    results["corpus"] = {
+        "train_superblocks": args.train_superblocks,
+        "val_superblocks": args.val_superblocks,
+        "per_size_train_blocks": {
+            str(s): len(bs.labels) for s, bs in train_sets.items()
+        },
+        "build_seconds": round(time.perf_counter() - t0, 1),
+    }
+    print(f"corpus: {results['corpus']}", flush=True)
+
+    yuv_path = out / f"val_{FRAME_W}x{FRAME_H}_30.yuv"
+    frames = pack_yuv(val_sbs, yuv_path)
+
+    # --- per-size ladders ----------------------------------------------------
+    for size in args.sizes:
+        sdir = out / f"size_{size}"
+        ds = sdir / "dataset"
+        save_split(
+            ds, size, build_v6_bundle(train_sets[size]),
+            build_v6_bundle(val_sets[size]), "v6",
+        )
+        szres = {}
+        stage3_dir = sdir / "stage3_datasets"
+        step(f"prepare_stage3[{size}]", prepare_stage3.main, [
+            "--dataset-dir", str(ds), "--out", str(stage3_dir),
+            "--block-size", str(size), "--ensemble-members", "0",
+        ])
+        common = ["--dataset-dir", str(ds), "--block-size", str(size),
+                  "--batch-size", str(args.batch_size), *bf16]
+        wall = step(f"stage1[{size}]", train_stage1.main, [
+            *common, "--output-dir", str(sdir / "models"),
+            "--epochs", str(args.stage1_epochs),
+        ])
+        szres["stage1_wall"] = round(wall, 1)
+        s1_ckpt = sdir / "models" / "stage1_best_variables.npz"
+        wall = step(f"stage2[{size}]", train_stage2.main, [
+            *common, "--output-dir", str(sdir / "models"),
+            "--epochs", str(args.stage2_epochs),
+            "--freeze-epochs", str(args.freeze_epochs),
+            "--stage1-checkpoint", str(s1_ckpt),
+        ])
+        szres["stage2_wall"] = round(wall, 1)
+        s2_ckpt = sdir / "models" / "stage2_best_variables.npz"
+        wall = step(f"stage3_rect[{size}]", train_stage3.main, [
+            "--head", "RECT",
+            "--dataset-dir", str(stage3_dir), "--block-size", str(size),
+            "--batch-size", str(args.batch_size), *bf16,
+            "--output-dir", str(sdir / "models"),
+            "--epochs", str(args.stage3_epochs),
+            "--stage2-checkpoint", str(s2_ckpt),
+        ])
+        szres["stage3_rect_wall"] = round(wall, 1)
+        wall = step(f"stage3_ab[{size}]", train_stage3.main, [
+            "--head", "AB", "--fgvc",
+            "--dataset-dir", str(stage3_dir), "--block-size", str(size),
+            "--batch-size", "128", *bf16,
+            "--output-dir", str(sdir / "models"),
+            "--epochs", str(args.stage3_epochs),
+            "--stage2-checkpoint", str(s2_ckpt),
+        ])
+        szres["stage3_ab_wall"] = round(wall, 1)
+        for stage, hist in (
+            ("stage1", "stage1_history.json"),
+            ("stage2", "stage2_history.json"),
+            ("stage3_rect", "stage3_rect_history.json"),
+            ("stage3_ab", "stage3_ab_fgvc_history.json"),
+        ):
+            h = json.loads((sdir / "models" / hist).read_text())
+            szres[f"{stage}_best_macro_f1"] = round(
+                max(e["val_metrics"]["macro_f1"] for e in h), 4
+            )
+        results["sizes"][str(size)] = szres
+        (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
+
+    # --- composed tree prediction via the public CLI -------------------------
+    tree_out = out / "trees"
+    wall = step("predict_trees", predict_trees.main, [
+        "--yuv", str(yuv_path),
+        "--frames", *[str(i) for i in range(frames)],
+        *[a for s in args.sizes
+          for a in (f"--models-{s}", str(out / f"size_{s}" / "models"))],
+        "--output-dir", str(tree_out),
+        "--stage1-threshold", str(args.stage1_threshold),
+        *bf16,
+    ])
+
+    pred_trees = np.concatenate([
+        np.load(tree_out / f"trees_frame{i}.npz")["trees"]
+        for i in range(frames)
+    ])
+    acc = tree_accuracy(pred_trees, val_trees)
+    acc["predict_wall_seconds"] = round(wall, 1)
+    results["tree_accuracy"] = acc
+    (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
+
+    lines = [
+        "# Tree composition results", "",
+        f"Corpus: {args.train_superblocks:,} train / "
+        f"{args.val_superblocks:,} val superblocks", "",
+        "| block size | train blocks | s1 F1 | s2 F1 | rect F1 | ab F1 | "
+        "node acc |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for lv in acc["per_level"]:
+        s = str(lv["block_size"])
+        r = results["sizes"].get(s, {})
+        lines.append(
+            f"| {s} | "
+            f"{results['corpus']['per_size_train_blocks'].get(s, '-')} | "
+            f"{r.get('stage1_best_macro_f1', '-')} | "
+            f"{r.get('stage2_best_macro_f1', '-')} | "
+            f"{r.get('stage3_rect_best_macro_f1', '-')} | "
+            f"{r.get('stage3_ab_best_macro_f1', '-')} | "
+            f"{lv['node_accuracy']:.4f} |"
+        )
+    lines += [
+        "",
+        f"Overall node accuracy: {acc['node_accuracy']:.4f}",
+        f"Exact-tree match: {acc['exact_tree_match']:.4f}",
+        f"Structure accuracy: {acc['structure_accuracy']:.4f}",
+    ]
+    (out / "RESULTS.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

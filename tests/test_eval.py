@@ -454,3 +454,22 @@ def test_operating_point_comparison_matches_rerun():
     assert "delta_vs_first" in report["points"][1]
     md = render_markdown(report)
     assert "th=0.45" in md and "th=0.60" in md
+
+
+def test_auto_capacity_from_sweep():
+    """Gated capacity derives from the calibrated gate rate + margin
+    (round-3: --capacity auto)."""
+    import pytest
+
+    from av1tpu.eval.gated import auto_capacity
+
+    rows = [
+        {"threshold": 0.40, "gate_rate": 0.5},
+        # legacy row without gate_rate: derived from counts (40/100)
+        {"threshold": 0.45, "tp": 30, "fp": 10, "fn": 10, "tn": 50},
+    ]
+    assert abs(auto_capacity(rows, 0.40) - 0.55) < 1e-9
+    assert abs(auto_capacity(rows, 0.46) - 0.44) < 1e-9
+    assert auto_capacity([{"threshold": 0.4, "gate_rate": 0.99}], 0.4) == 1.0
+    with pytest.raises(ValueError):
+        auto_capacity([], 0.4)

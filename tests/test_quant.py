@@ -237,3 +237,74 @@ def test_is_plain_stage_discriminates_fgvc():
     assert is_plain_stage(plain) is True
     assert is_plain_stage(fgvc) is False
     assert is_plain_stage({"params": {}}) is False
+
+
+@pytest.fixture(scope="module")
+def trained_v6_models():
+    """PipelineModels whose params AND BatchNorm running stats moved off
+    init by real train steps — fold bugs invisible at init (where BN stats
+    are exactly 0/1) surface here (round-3: serving-path certification)."""
+    import optax
+
+    from av1tpu.train import StepConfig, TrainState, make_train_step
+    from av1tpu.train.losses import binary_focal_loss, multiclass_focal_loss
+
+    rng = np.random.default_rng(5)
+    train_images = rng.integers(0, 1024, size=(64, 16, 16, 1), dtype=np.uint16)
+
+    def train(model_cls, num_out, seed, binary):
+        model = model_cls()
+        variables = init_on_cpu(
+            model, jax.random.PRNGKey(seed),
+            jnp.zeros((2, 16, 16, 1), jnp.float32),
+        )
+        labels = rng.integers(
+            0, 2 if binary else num_out, size=64
+        ).astype(np.int32)
+        loss = (
+            binary_focal_loss if binary
+            else lambda lo, ta: multiclass_focal_loss(lo, ta)
+        )
+        cfg = StepConfig(
+            loss_fn=loss, label_key="y", binary=binary,
+            num_classes=2 if binary else num_out,
+        )
+        opt = optax.adam(1e-3)
+        step = make_train_step(model, opt, cfg)
+        state = TrainState.create(variables, opt)
+        key = jax.random.PRNGKey(seed + 100)
+        for _ in range(6):
+            key, k = jax.random.split(key)
+            state, _ = step(
+                state, {"samples": train_images, "y": labels}, k
+            )
+        return model, {
+            "params": jax.tree_util.tree_map(np.asarray, state.params),
+            "batch_stats": jax.tree_util.tree_map(
+                np.asarray, state.batch_stats
+            ),
+        }
+
+    s1, s1v = train(Stage1Model, 1, 21, True)
+    s2, s2v = train(Stage2Model, 3, 22, False)
+    s3r, s3rv = train(Stage3RectModel, 2, 23, False)
+    s3a, s3av = train(Stage3ABModel, 4, 24, False)
+    return PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+
+
+def test_folded_matches_flax_on_trained_weights(trained_v6_models, images):
+    """The bench-headline folded graph must reproduce the flax graph's
+    finals on TRAINED weights (moved BN stats), not just random inits."""
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    dense = make_v6_pipeline(trained_v6_models, stage1_threshold=0.45)
+    folded = make_v6_pipeline_folded(
+        trained_v6_models, stage1_threshold=0.45, float_dtype=jnp.float32
+    )
+    out_d = {k: np.asarray(v) for k, v in dense(jnp.asarray(images)).items()}
+    out_f = {k: np.asarray(v) for k, v in folded(jnp.asarray(images)).items()}
+    np.testing.assert_allclose(
+        out_f["stage1_prob"], out_d["stage1_prob"], atol=1e-4
+    )
+    agreement = (out_f["final"] == out_d["final"]).mean()
+    assert agreement >= 0.97, agreement

@@ -436,3 +436,44 @@ def test_resident_eval_matches_streaming():
     np.testing.assert_allclose(resident.loss, streaming.loss, rtol=1e-5)
     assert resident.metrics["accuracy"] == streaming.metrics["accuracy"]
     assert resident.metrics["macro_f1"] == streaming.metrics["macro_f1"]
+
+
+def test_smaller_than_batch_dataset_still_trains():
+    """A dataset smaller than one batch must train one wraparound batch,
+    not silently run zero steps (loss 0.0, nothing learned) — hit by tiny
+    specialist splits at the 64px tree level."""
+    import optax
+
+    from av1tpu.train.trainer import (
+        make_epoch_fn, resident_train_arrays, run_train_epoch_resident,
+    )
+
+    model = TinyModel()
+    data = make_synthetic(10)
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1))),
+    )
+    optimizer = optax.sgd(0.1)
+    cfg = StepConfig(loss_fn=binary_focal_loss, label_key="stage1", binary=True)
+
+    def fresh():
+        from av1tpu.train import TrainState
+
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, variables), optimizer
+        )
+
+    step = make_train_step(model, optimizer, cfg)
+    _, res = run_train_epoch(
+        step, fresh(), data, batch_size=32, rng_key=jax.random.PRNGKey(1),
+        epoch_seed=0, num_classes=2,
+    )
+    assert res.samples == 32 and np.isfinite(res.loss) and res.loss > 0
+
+    epoch_fn = make_epoch_fn(model, optimizer, cfg)
+    _, res_r = run_train_epoch_resident(
+        epoch_fn, fresh(), resident_train_arrays(dict(data)), 32,
+        jax.random.PRNGKey(1), epoch_seed=0, num_classes=2,
+    )
+    assert res_r.samples == 32 and np.isfinite(res_r.loss) and res_r.loss > 0

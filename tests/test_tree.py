@@ -123,3 +123,93 @@ def test_predict_frame_trees_grid():
     out = predict_frame_trees(frame, preds, batch_size=8)
     assert out["trees"].shape == (2 * 3, TREE_SLOTS)
     np.testing.assert_array_equal(out["grid_shape"], [2, 3])
+
+
+# ---------------------------------------------------------------------------
+# Tree-structured synthetic corpus (round 3: north-star accuracy measurement)
+# ---------------------------------------------------------------------------
+
+def test_sample_trees_structure():
+    """Reached/unreached invariants: slot >= 0 iff every ancestor SPLIT;
+    8px nodes never SPLIT; root always reached."""
+    from av1tpu.data.synth_tree import sample_trees
+
+    rng = np.random.default_rng(0)
+    trees = sample_trees(500, rng)
+    assert trees.shape == (500, TREE_SLOTS)
+    assert (trees[:, 0] >= 0).all()                     # root reached
+    assert (trees[:, 21:] != PARTITION_SPLIT).all()     # 8px never splits
+    # child reached iff parent reached and SPLIT, at every level
+    offs = [0, 1, 5, 21]
+    for li, (off, nodes) in enumerate(zip(offs[:-1], [1, 4, 16])):
+        parents = trees[:, off:off + nodes]
+        child_off = offs[li + 1]
+        children = trees[:, child_off:child_off + nodes * 4]
+        parent_split = np.repeat(parents == PARTITION_SPLIT, 4, axis=1)
+        np.testing.assert_array_equal(children >= 0, parent_split)
+
+
+def test_render_and_extract_roundtrip():
+    """Noise-free rendering: every reached leaf extracted by
+    per_size_blocksets must equal its class template exactly — this pins
+    _node_origin to the quadrant-major order _quad_tile/tree assembly use."""
+    from av1tpu.data.synth import class_templates
+    from av1tpu.data.synth_tree import (
+        per_size_blocksets, render_superblocks, sample_trees,
+    )
+
+    rng = np.random.default_rng(1)
+    trees = sample_trees(64, rng)
+    sbs = render_superblocks(
+        trees, np.random.default_rng(2), noise=0.0, contrast=None,
+        mix_prob=0.0,
+    )
+    sets = per_size_blocksets(sbs, trees, np.random.default_rng(3))
+
+    from av1tpu.codec.tree import LEVEL_OFFSETS, LEVEL_SIZES, NODES_PER_LEVEL
+
+    for size, nodes, off in zip(LEVEL_SIZES, NODES_PER_LEVEL, LEVEL_OFFSETS):
+        templates = class_templates(size)
+        mid = templates.mean()
+        centered = templates - templates.mean(axis=(1, 2), keepdims=True)
+        expected = {}
+        for cls in range(8):
+            if cls == PARTITION_SPLIT:
+                continue
+            expected[cls] = np.clip(mid + centered[cls], 0, 1023).astype(
+                np.uint16
+            )
+        bs = sets[size]
+        slots = trees[:, off:off + nodes].reshape(-1)
+        mask = slots >= 0
+        assert len(bs.labels) == int(mask.sum())
+        leaf_rows = bs.labels != PARTITION_SPLIT
+        for i in np.flatnonzero(leaf_rows)[:40]:
+            np.testing.assert_array_equal(
+                bs.samples[i, ..., 0], expected[int(bs.labels[i])]
+            )
+
+
+def test_tree_accuracy_metrics():
+    from av1tpu.data.synth_tree import sample_trees
+    from av1tpu.eval.tree_metrics import tree_accuracy
+
+    rng = np.random.default_rng(4)
+    true = sample_trees(100, rng)
+    perfect = tree_accuracy(true.copy(), true)
+    assert perfect["exact_tree_match"] == 1.0
+    assert perfect["node_accuracy"] == 1.0
+    assert all(lv["node_accuracy"] == 1.0 for lv in perfect["per_level"])
+    assert perfect["structure_accuracy"] == 1.0
+
+    # corrupt every root that SPLIT -> its whole subtree orphans
+    pred = true.copy()
+    split_roots = pred[:, 0] == PARTITION_SPLIT
+    pred[split_roots, 0] = 0
+    pred[split_roots, 1:] = -1
+    scored = tree_accuracy(pred, true)
+    assert scored["exact_tree_match"] == float((~split_roots).mean())
+    lvl64 = scored["per_level"][0]
+    assert lvl64["node_accuracy"] == float((~split_roots).mean())
+    # orphaned deeper nodes all count wrong
+    assert scored["node_accuracy"] < perfect["node_accuracy"]
