@@ -86,21 +86,15 @@ def test_int8_close_to_float(stage1, images):
     assert prob_err < 0.06, prob_err
 
 
-def test_int8_pipeline_contract(images):
+def test_int8_pipeline_contract(v6_models, images):
     """The int8 pipeline honors the float pipeline's output contract: same
     keys/shapes, valid label range, routing == v6_route of its own stage
-    predictions, and stage-1 probabilities near the float pipeline's."""
-    sample = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    predictions, and stage-1 probabilities near the float pipeline's.
 
-    def build(cls, seed):
-        m = cls()
-        return m, init_on_cpu(m, jax.random.PRNGKey(seed), sample)
-
-    s1, s1v = build(Stage1Model, 1)
-    s2, s2v = build(Stage2Model, 2)
-    s3r, s3rv = build(Stage3RectModel, 3)
-    s3a, s3av = build(Stage3ABModel, 4)
-    models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+    Reuses the module-scope models: building 4 fresh ResNets here would
+    cost 4 extra inits and a float-pipeline compile that (with shared
+    weights) instead hits the persistent compile cache."""
+    models = v6_models
 
     predict_f = make_v6_pipeline(models, stage1_threshold=0.45)
     predict_q = make_v6_pipeline_int8(

@@ -201,12 +201,22 @@ def test_fgvc_composite_step_runs():
 
 def test_resume_from_checkpoint(tmp_path):
     """Train 1 epoch + checkpoint, resume for a 2-epoch recipe: only the
-    second epoch runs and params continue from the checkpoint."""
-    labels = np.tile([0, 3], 32)
-    train_b = make_bundle(labels)
-    val_b = make_bundle(labels, seed=1)
+    second epoch runs and params continue from the checkpoint. Uses the
+    real stage1 recipe shape but a tiny model — resume fast-forward is
+    architecture-agnostic and the full Stage1Model recipe is already
+    covered by test_stage1_recipe_runs_and_checkpoints."""
+    from dataclasses import replace
 
-    recipe1 = small(stage1_recipe(epochs=1, steps_per_epoch=4))
+    from tests.test_train import TinyModel
+
+    labels = np.tile([0, 3], 32)
+    train_b = make_bundle(labels, size=8)
+    val_b = make_bundle(labels, seed=1, size=8)
+
+    def tiny(recipe):
+        return replace(recipe, model=TinyModel(), input_shape=(8, 8, 1))
+
+    recipe1 = tiny(small(stage1_recipe(epochs=1, steps_per_epoch=4)))
     r1 = train_stage(
         recipe1, train_b, val_b, seed=0, checkpoint_dir=tmp_path,
         log=lambda s: None,
@@ -214,8 +224,8 @@ def test_resume_from_checkpoint(tmp_path):
     final_dir = tmp_path / "stage1_final"
     assert (final_dir / "variables.npz").exists()
 
-    recipe2 = small(stage1_recipe(epochs=2, steps_per_epoch=4),
-                    epochs_per_phase=2)
+    recipe2 = tiny(small(stage1_recipe(epochs=2, steps_per_epoch=4),
+                         epochs_per_phase=2))
     r2 = train_stage(
         recipe2, train_b, val_b, seed=0, resume_from=final_dir,
         log=lambda s: None,
