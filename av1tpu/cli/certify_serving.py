@@ -51,6 +51,10 @@ from av1tpu.models import (
 
 
 def _evaluate(name, predict, samples, labels, batch_size, mesh, reference_final):
+    # warm up on one batch so the timed pass excludes compile (folded /
+    # int8 graphs embed weights as constants and compile slowly; without
+    # this the throughput column reads as a [misleading] serving claim)
+    run_pipeline_batched(predict, samples[:batch_size], batch_size, mesh=mesh)
     start = time.perf_counter()
     out = run_pipeline_batched(predict, samples, batch_size, mesh=mesh)
     seconds = time.perf_counter() - start

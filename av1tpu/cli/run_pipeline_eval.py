@@ -165,7 +165,7 @@ def main(argv=None) -> None:
     parser.add_argument("--folded", action="store_true",
                         help="v6 only: BN-folded serving path (eval.folded) "
                         "— same math as the flax graph minus the BN affine; "
-                        "measured 1.088x faster on the v5e. FGVC AB falls "
+                        "measured 1.36x faster on the v5e (2026-08-17). FGVC AB falls "
                         "back to flax inside the graph")
     parser.add_argument("--int8", action="store_true",
                         help="v6 only: serve the post-training-quantized "

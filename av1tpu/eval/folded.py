@@ -3,9 +3,11 @@
 The float twin of the int8 path (``av1tpu.quant``): every stage backbone's
 conv+BN pairs fold into conv+bias (``fold_backbone``), so the BN affine
 and its batch_stats loads vanish from the serving graph. Measured on the
-v5e (batch 8192, bf16): **2.24M superblocks/s, 40.3% MFU — 1.088x the
-flax graph** (2.06M) — which makes this the headline formulation in
-``bench.py``.
+v5e (batch 8192, bf16, 2026-08-17 bench run): **2.29M superblocks/s,
+41.2% MFU — 1.36x the flax graph** (1.68M) — which makes this the
+headline formulation in ``bench.py``. Accuracy-certified vs the flax
+graph at dataset scale (99.7% final-label agreement, −0.02pp accuracy;
+``cli.certify_serving``, docs/EXPERIMENTS.md).
 
 ``use_pallas_groups=True`` additionally runs the layer1+SE1+layer2+SE2
 subgraph as ONE ``pallas_call`` (``kernels.resnet_group.fused_group12``)

@@ -78,23 +78,32 @@ def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
         np.random.default_rng(0).integers(0, 1024, size=(batch, block_px, block_px, 1)),
         dtype=jnp.uint16,
     )
+    # AOT-compile once and time the compiled executable; reusing the same
+    # object for cost_analysis avoids a second full XLA compile per
+    # section (compile dominates bench wall on a 1-CPU host)
+    compiled = None
+    try:
+        compiled = predict.lower(images).compile()
+    except Exception:
+        pass
+    run = compiled if compiled is not None else predict
     for _ in range(WARMUP_ITERS):
-        out = predict(images)
+        out = run(images)
     jax.block_until_ready(out["final"])
 
     start = time.perf_counter()
     for _ in range(iters):
-        out = predict(images)
+        out = run(images)
     jax.block_until_ready(out["final"])
     seconds = time.perf_counter() - start
     throughput = batch * iters / seconds
 
     flops_per_sample = None
     try:
-        cost = predict.lower(images).compile().cost_analysis()
+        cost = compiled.cost_analysis() if compiled is not None else None
         if isinstance(cost, list):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
         if flops:
             flops_per_sample = flops / batch
     except Exception:
@@ -110,7 +119,7 @@ def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
 def bench_tpu() -> dict:
     """Headline: dense fused stage1-3 inference on 16px blocks via the
     BN-FOLDED serving graph (eval.folded — measured fastest formulation,
-    1.088x the flax graph), plus the other block sizes and the
+    1.36x the flax graph, 2026-08-17 run), plus the other block sizes and the
     capacity-gated serving variant.
 
     Formulations measured and rejected (docs/PARITY.md "performance
@@ -193,12 +202,19 @@ def bench_tpu() -> dict:
     return results
 
 
-def bench_tree_cascade(models, dtype, n_superblocks: int = 256, iters: int = 20):
-    """The north-star composition graph, fused into ONE jit dispatch:
-    64x64 superblocks resident in HBM -> on-device quad tiling -> the
-    BN-folded v6 pipeline at every level of the 64->32->16->8 hierarchy ->
-    masked 85-slot tree assembly (codec.tree.assemble_trees). Per
-    superblock that is 85 hierarchical block decisions (1+4+16+64).
+def bench_tree_cascade(models, dtype, n_superblocks: int = 512, iters: int = 20):
+    """The north-star composition graph: 64x64 superblocks resident in
+    HBM -> on-device quad tiling -> the BN-folded v6 pipeline at every
+    level of the 64->32->16->8 hierarchy -> masked 85-slot tree assembly
+    (codec.tree.assemble_trees). Per superblock that is 85 hierarchical
+    block decisions (1+4+16+64).
+
+    One jitted dispatch PER LEVEL (4 + a trivial assemble) rather than
+    one mega-jit: the levels are sequentially independent so fusing them
+    buys nothing, and the fused module (16 inlined ResNet-18 forwards)
+    took ~22 min of XLA compile on a 1-CPU host for the same measured
+    throughput (2026-08-17: 29.6k trees/s fused vs the split figure
+    reported by this function).
     """
     import jax
     import jax.numpy as jnp
@@ -231,15 +247,13 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 256, iters: int = 20)
             cur = half
         return current.reshape(-1, size, size)[..., None]
 
-    @jax.jit
-    def cascade(sbs):
-        level_modes = []
-        for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
+    def make_level(size, nodes):
+        @jax.jit
+        def level(sbs):
             out = predict(quad_tile(sbs, size))
-            level_modes.append(
-                remap[out["final"]].reshape(sbs.shape[0], nodes)
-            )
-        return assemble_trees(level_modes)
+            return remap[out["final"]].reshape(sbs.shape[0], nodes)
+
+        return level
 
     sbs = jnp.asarray(
         np.random.default_rng(3).integers(
@@ -247,6 +261,19 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 256, iters: int = 20)
         ),
         dtype=jnp.uint16,
     )
+    # AOT-compile each level ONCE and call the compiled executables —
+    # the same objects serve execution and cost_analysis (a second
+    # lower().compile() per level would double the section's compile
+    # time, which dominates this bench on a 1-CPU host)
+    levels = []
+    for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
+        _progress(f"  compiling cascade level {size}px")
+        levels.append(make_level(size, nodes).lower(sbs).compile())
+    assemble = jax.jit(assemble_trees)
+
+    def cascade(sbs):
+        return assemble([level(sbs) for level in levels])
+
     for _ in range(WARMUP_ITERS):
         trees = cascade(sbs)
     jax.block_until_ready(trees)
@@ -259,10 +286,12 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 256, iters: int = 20)
 
     mfu = None
     try:
-        cost = cascade.lower(sbs).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = 0.0
+        for level in levels:
+            cost = level.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops += float(cost.get("flops", 0.0))
         if flops:
             mfu = (flops / n_superblocks) * trees_per_sec / V5E_BF16_PEAK_FLOPS
     except Exception:
