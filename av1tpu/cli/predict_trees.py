@@ -73,6 +73,20 @@ def build_level_predictor(
     )
 
 
+def normalize_thresholds(values):
+    """1 global or 4 per-size (64/32/16/8 order) gate thresholds ->
+    the per-size list; raises ValueError on any other count."""
+    values = list(values)
+    if len(values) == 1:
+        return values * 4
+    if len(values) != 4:
+        raise ValueError(
+            f"--stage1-threshold takes 1 or 4 values (64 32 16 8), "
+            f"got {len(values)}"
+        )
+    return values
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--yuv", type=Path, required=True)
@@ -81,7 +95,12 @@ def main(argv=None) -> None:
     for size in (64, 32, 16, 8):
         parser.add_argument(f"--models-{size}", type=Path, required=True)
     parser.add_argument("--output-dir", type=Path, required=True)
-    parser.add_argument("--stage1-threshold", type=float, default=0.45)
+    parser.add_argument("--stage1-threshold", type=float, nargs="+",
+                        default=[0.45],
+                        help="stage-1 gate threshold: one global value, or "
+                        "four per-size values in 64 32 16 8 order (feed "
+                        "each level its calibrated operating point from "
+                        "optimize_thresholds)")
     parser.add_argument("--batch-size", type=int, default=4096)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--no-ab-fgvc", dest="ab_fgvc", action="store_false",
@@ -105,12 +124,16 @@ def main(argv=None) -> None:
     mesh = None if args.single_device else default_mesh()
     if mesh is not None:
         print(f"sharding inference over mesh {dict(mesh.shape)}")
+    try:
+        thresholds = normalize_thresholds(args.stage1_threshold)
+    except ValueError as e:
+        parser.error(str(e))
     predictors = {
         size: build_level_predictor(
-            getattr(args, f"models_{size}"), args.stage1_threshold, dtype,
+            getattr(args, f"models_{size}"), threshold, dtype,
             args.ab_fgvc, mesh=mesh,
         )
-        for size in (64, 32, 16, 8)
+        for size, threshold in zip((64, 32, 16, 8), thresholds)
     }
 
     out_dir = Path(args.output_dir)

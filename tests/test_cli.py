@@ -343,6 +343,18 @@ def test_flatten_cli_chain(workspace, v6_dataset, stage1_ckpt, tmp_path):
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
 
 
+def test_predict_trees_threshold_normalization():
+    """--stage1-threshold: one global value fans out to all four levels;
+    four values map per size (64/32/16/8); other counts are rejected."""
+    from av1tpu.cli.predict_trees import normalize_thresholds
+
+    assert normalize_thresholds([0.4]) == [0.4, 0.4, 0.4, 0.4]
+    assert normalize_thresholds([0.5, 0.4, 0.45, 0.6]) == [0.5, 0.4, 0.45, 0.6]
+    for bad in ([], [0.4, 0.5], [0.1, 0.2, 0.3, 0.4, 0.5]):
+        with pytest.raises(ValueError):
+            normalize_thresholds(bad)
+
+
 @slow
 def test_predict_trees_cli(tmp_path):
     """predict_trees: whole-frame partition-tree prediction end to end."""
