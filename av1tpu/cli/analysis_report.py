@@ -44,14 +44,19 @@ def main(argv=None) -> None:
                         "repeatable")
     parser.add_argument("--history-metric", default="macro_f1",
                         help="val metric to plot from histories")
+    parser.add_argument("--tree-accuracy", action="append", default=[],
+                        help="tree_accuracy JSON (eval.tree_metrics; "
+                        "name=path ok); repeatable — adds a composed "
+                        "partition-tree section per entry")
     parser.add_argument("--title", default="av1tpu pipeline analysis")
     parser.add_argument("--output", type=Path, required=True)
     args = parser.parse_args(argv)
 
-    if not (args.eval_dir or args.threshold_sweep or args.history):
+    if not (args.eval_dir or args.threshold_sweep or args.history
+            or args.tree_accuracy):
         raise SystemExit(
             "nothing to report: pass --eval-dir / --threshold-sweep / "
-            "--history"
+            "--history / --tree-accuracy"
         )
 
     runs = []
@@ -68,9 +73,18 @@ def main(argv=None) -> None:
         name, path = _split_labeled(entry, lambda p: p.stem)
         histories[name] = json.loads(Path(path).read_text())
 
+    tree_runs = {}
+    for entry in args.tree_accuracy:
+        name, path = _split_labeled(entry, lambda p: p.stem)
+        payload = json.loads(Path(path).read_text())
+        # accept both a bare tree_accuracy payload and a tree_demo
+        # RESULTS.json that nests it
+        tree_runs[name] = payload.get("tree_accuracy", payload)
+
     html_text = build_report(
         runs, sweep_rows, sweep_summary, histories,
         history_metric=args.history_metric, title=args.title,
+        tree_runs=tree_runs,
     )
     args.output.parent.mkdir(parents=True, exist_ok=True)
     args.output.write_text(html_text)

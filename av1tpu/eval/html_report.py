@@ -128,6 +128,33 @@ def plot_cascade(cascade: Mapping) -> str:
     return _fig_b64(fig)
 
 
+def plot_tree_accuracy(tree_acc: Mapping) -> str:
+    """Per-level node accuracy of a composed partition-tree run
+    (``eval.tree_metrics.tree_accuracy`` JSON)."""
+    levels = list(tree_acc.get("per_level", []))
+    if not levels:
+        raise ValueError("tree accuracy payload has no per_level entries")
+    labels = [f"{lv['block_size']}px" for lv in levels]
+    vals = [100.0 * float(lv["node_accuracy"]) for lv in levels]
+    overall = 100.0 * float(tree_acc["node_accuracy"])
+    fig, ax = plt.subplots(figsize=(6.0, 3.0))
+    ax.bar(range(len(vals)), vals, color="#0072B2", width=0.62)
+    ax.axhline(overall, color=_INK, linewidth=1, linestyle="--")
+    ax.text(len(vals) - 0.45, overall + 1.0, f"overall {overall:.1f}%",
+            fontsize=9, color=_INK, ha="right")
+    ax.set_xticks(range(len(vals)), labels)
+    for x, v in enumerate(vals):
+        ax.text(x, v + 1.0, f"{v:.1f}%", ha="center", color=_INK,
+                fontsize=9)
+    ax.set_ylabel("node accuracy (%)")
+    ax.set_ylim(0, min(100.0, max(vals) * 1.18 + 2))
+    ax.grid(True, axis="y", **_GRID)
+    ax.set_axisbelow(True)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    return _fig_b64(fig)
+
+
 def plot_history(history: Sequence[Mapping], metric: str) -> str:
     """Train/val loss and the tracked val metric per epoch (two panels,
     one y-axis each — never a dual axis). Tolerates histories without a
@@ -210,9 +237,12 @@ def build_report(
     histories: Optional[Dict[str, Sequence[Mapping]]] = None,
     history_metric: str = "macro_f1",
     title: str = "av1tpu pipeline analysis",
+    tree_runs: Optional[Dict[str, Mapping]] = None,
 ) -> str:
     """Assemble the HTML. ``eval_runs``: list of dicts with keys ``name``,
-    ``payload`` (pipeline_metrics JSON) and optional ``confusion_png``."""
+    ``payload`` (pipeline_metrics JSON) and optional ``confusion_png``.
+    ``tree_runs``: name -> ``tree_metrics.tree_accuracy`` payloads for
+    composed partition-tree sections."""
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>",
         f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>",
@@ -259,6 +289,26 @@ def build_report(
                 f"ECE {cal['ece_raw']:.4f} &rarr; "
                 f"{cal['ece_calibrated']:.4f}</p>"
             )
+    for name, tree_acc in (tree_runs or {}).items():
+        parts.append(f"<h2>Partition trees: {html.escape(name)}</h2>")
+        parts.append(_img(plot_tree_accuracy(tree_acc),
+                          f"{name} per-level node accuracy"))
+        summary_rows = [
+            ("trees scored", f"{int(tree_acc.get('trees', 0)):,}"),
+            ("overall node accuracy",
+             f"{float(tree_acc['node_accuracy']):.4f}"),
+            ("exact-tree match (85 slots)",
+             f"{float(tree_acc['exact_tree_match']):.4f}"),
+            ("structure accuracy",
+             f"{float(tree_acc['structure_accuracy']):.4f}"),
+        ]
+        rows = "".join(
+            f"<tr><td>{html.escape(k)}</td><td>{v}</td></tr>"
+            for k, v in summary_rows
+        )
+        parts.append(
+            f"<table><tr><th>metric</th><th>value</th></tr>{rows}</table>"
+        )
     for name, history in (histories or {}).items():
         parts.append(f"<h2>Training: {html.escape(name)}</h2>")
         parts.append(_img(plot_history(history, history_metric),

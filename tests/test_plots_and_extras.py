@@ -136,3 +136,38 @@ def test_plot_history_tolerates_fgvc_history():
     ]
     b64 = plot_history(history, "macro_f1")
     assert isinstance(b64, str) and len(b64) > 1000
+
+
+def test_tree_accuracy_report_section(tmp_path):
+    """analysis_report --tree-accuracy renders a composed-tree section
+    from both a bare tree_accuracy payload and a tree_demo RESULTS.json
+    that nests it."""
+    import json
+
+    from av1tpu.cli import analysis_report
+
+    acc = {
+        "per_level": [
+            {"block_size": s, "nodes_reached": 100, "node_accuracy": a}
+            for s, a in ((64, 0.85), (32, 0.76), (16, 0.79), (8, 0.76))
+        ],
+        "node_accuracy": 0.78,
+        "exact_tree_match": 0.43,
+        "structure_accuracy": 0.83,
+        "trees": 2400,
+    }
+    (tmp_path / "acc.json").write_text(json.dumps(acc))
+    (tmp_path / "results.json").write_text(
+        json.dumps({"config": {}, "tree_accuracy": acc})
+    )
+    out = tmp_path / "report.html"
+    analysis_report.main([
+        "--tree-accuracy", f"bare={tmp_path / 'acc.json'}",
+        "--tree-accuracy", f"nested={tmp_path / 'results.json'}",
+        "--output", str(out),
+    ])
+    text = out.read_text()
+    assert "Partition trees: bare" in text
+    assert "Partition trees: nested" in text
+    assert "exact-tree match" in text
+    assert text.count("data:image/png;base64,") == 2
