@@ -221,6 +221,8 @@ def main(argv=None) -> None:
                 args.capacity = float(args.capacity)
             except ValueError:
                 parser.error("--capacity must be a float in (0, 1] or 'auto'")
+            if not 0.0 < args.capacity <= 1.0:
+                parser.error("--capacity must be a float in (0, 1] or 'auto'")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     from av1tpu.parallel.mesh import default_mesh

@@ -33,7 +33,7 @@ from av1tpu.codec.tree import (
     _quad_tile,
 )
 from av1tpu.data.records import BlockSet
-from av1tpu.data.synth import class_templates, synth_blocks
+from av1tpu.data.synth import synth_blocks
 
 # Per-level probability that a reached node SPLITs (8px never splits —
 # smallest size in the data, codec/tree.py). Values chosen to yield the

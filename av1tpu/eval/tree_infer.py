@@ -27,6 +27,33 @@ from av1tpu.codec.tree import (
 from av1tpu.eval.hierarchy import run_pipeline_batched
 
 
+def quad_tile_on_device(sbs, size: int):
+    """(N, 64, 64) superblocks -> (N·nodes, size, size, 1) sub-blocks in
+    quadrant-major order — the on-device twin of ``codec.tree._quad_tile``
+    (a pure reshape/transpose; traceable, so it composes into larger
+    jitted graphs). Single source of the cascade's child ordering, shared
+    by :func:`predict_partition_trees` and the bench's cascade graph."""
+    import jax.numpy as jnp
+
+    current = sbs[:, None]
+    cur = 64
+    while cur > size:
+        half = cur // 2
+        nn = current.shape[1]
+        quads = jnp.stack(
+            [
+                current[:, :, :half, :half],
+                current[:, :, :half, half:],
+                current[:, :, half:, :half],
+                current[:, :, half:, half:],
+            ],
+            axis=2,
+        )
+        current = quads.reshape(sbs.shape[0], nn * 4, half, half)
+        cur = half
+    return current.reshape(-1, size, size)[..., None]
+
+
 def predict_partition_trees(
     superblocks: np.ndarray,
     level_predictors: Mapping[int, Callable],
@@ -62,26 +89,7 @@ def predict_partition_trees(
     # traffic, and 4x less host->device transfer than per-level uploads).
     device_sbs = jnp.asarray(superblocks)
 
-    def _quad_tile_fn(sbs, size: int):
-        current = sbs[:, None]
-        cur = 64
-        while cur > size:
-            half = cur // 2
-            nn = current.shape[1]
-            quads = jnp.stack(
-                [
-                    current[:, :, :half, :half],
-                    current[:, :, :half, half:],
-                    current[:, :, half:, :half],
-                    current[:, :, half:, half:],
-                ],
-                axis=2,
-            )
-            current = quads.reshape(sbs.shape[0], nn * 4, half, half)
-            cur = half
-        return current.reshape(-1, size, size)[..., None]
-
-    quad_tile_device = jax.jit(_quad_tile_fn, static_argnums=1)
+    quad_tile_device = jax.jit(quad_tile_on_device, static_argnums=1)
 
     remap = jnp.asarray(V6_FINAL_TO_RAW) if not as_numpy else V6_FINAL_TO_RAW
     level_modes = []

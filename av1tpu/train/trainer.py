@@ -105,7 +105,13 @@ def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
     larger jitted program (the device-resident epoch scan)."""
 
     def loss_and_metrics(params, batch_stats, batch, rng):
-        aug_key, dropout_key = jax.random.split(rng)
+        # 3-way split: by the threefry split-prefix property the first two
+        # children equal split(rng, 2), so recipes without batch_mix are
+        # bitwise unchanged; mix_key is an independent third child (NOT a
+        # re-split of aug_key — split(aug_key, 2)[i] would alias the
+        # per-sample augment keys split(aug_key, n)[i], reusing sample
+        # 1's augmentation key as the mixup draw)
+        aug_key, dropout_key, mix_key = jax.random.split(rng, 3)
         images = batch["samples"].astype(jnp.float32) / cfg.norm_scale
         labels = batch[cfg.label_key]
 
@@ -118,7 +124,6 @@ def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
 
         perm = lam = None
         if cfg.batch_mix is not None:
-            aug_key, mix_key = jax.random.split(aug_key)
             images, perm, lam = cfg.batch_mix(mix_key, images)
 
         apply_args = (images,)

@@ -222,35 +222,17 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 512, iters: int = 20)
     from av1tpu.codec.partitions import V6_FINAL_TO_RAW
     from av1tpu.codec.tree import LEVEL_SIZES, NODES_PER_LEVEL, assemble_trees
     from av1tpu.eval import make_v6_pipeline_folded
+    from av1tpu.eval.tree_infer import quad_tile_on_device
 
     predict = make_v6_pipeline_folded(
         models, stage1_threshold=0.45, float_dtype=dtype
     )
     remap = jnp.asarray(V6_FINAL_TO_RAW)
 
-    def quad_tile(sbs, size):
-        current = sbs[:, None]
-        cur = 64
-        while cur > size:
-            half = cur // 2
-            nn = current.shape[1]
-            quads = jnp.stack(
-                [
-                    current[:, :, :half, :half],
-                    current[:, :, :half, half:],
-                    current[:, :, half:, :half],
-                    current[:, :, half:, half:],
-                ],
-                axis=2,
-            )
-            current = quads.reshape(sbs.shape[0], nn * 4, half, half)
-            cur = half
-        return current.reshape(-1, size, size)[..., None]
-
     def make_level(size, nodes):
         @jax.jit
         def level(sbs):
-            out = predict(quad_tile(sbs, size))
+            out = predict(quad_tile_on_device(sbs, size))
             return remap[out["final"]].reshape(sbs.shape[0], nodes)
 
         return level

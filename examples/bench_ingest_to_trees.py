@@ -49,7 +49,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8192)
     parser.add_argument("--chunk-frames", type=int, default=8,
                         help="frames per double-buffered IO/compute chunk")
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="bf16 compute (default; --no-bf16 for float32)")
     args = parser.parse_args()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

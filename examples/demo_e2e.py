@@ -107,7 +107,9 @@ def main():
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--out", type=Path, default=Path("runs/demo"))
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="bf16 compute (default; --no-bf16 for float32)")
     args = parser.parse_args()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -33,7 +33,9 @@ def main():
     parser.add_argument("--scale", type=float, default=1.0,
                         help="corpus scale factor (1.0 = documented sizes)")
     parser.add_argument("--batch-size", type=int, default=256)
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="bf16 compute (default; --no-bf16 for float32)")
     parser.add_argument("--stage1-epochs", type=int, default=30)
     parser.add_argument("--stage2-epochs", type=int, default=30)
     parser.add_argument("--stage3-epochs", type=int, default=30)

@@ -77,7 +77,9 @@ def main():
                         "node accuracy over the fixed default)")
     parser.add_argument("--folded", action="store_true",
                         help="predict through the BN-folded serving graphs")
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="bf16 compute (default; --no-bf16 for float32)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--sizes", type=int, nargs="+",
                         default=[64, 32, 16, 8])
@@ -200,6 +202,13 @@ def main():
         (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
 
     # --- composed tree prediction via the public CLI -------------------------
+    if set(args.sizes) != {64, 32, 16, 8}:
+        # predict_trees needs all four per-size model dirs; a subset run
+        # still produced its ladders + per-stage F1s above
+        print(f"sizes {args.sizes} != [64, 32, 16, 8]: skipping composed "
+              "tree prediction (train-only run)", flush=True)
+        (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
+        return
     tree_out = out / "trees"
     if args.calibrate:
         # predict_trees takes per-size thresholds positionally in

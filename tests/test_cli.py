@@ -92,10 +92,11 @@ def v6_dataset(workspace):
     return dataset
 
 
-def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
-    """Default-suite coverage of the inference CLI surface without any
-    training: random-init checkpoints drive optimize_thresholds,
-    run_pipeline_eval (v6, all report artifacts) and analyze_confusion."""
+@pytest.fixture(scope="module")
+def random_ckpts(tmp_path_factory):
+    """Random-init v6 stage checkpoints shared by the fast inference-CLI
+    tests (4 ResNet inits are expensive on 1 CPU; identical weights also
+    let the pipelines' compiles share the persistent cache)."""
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +106,7 @@ def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
     from av1tpu.train.checkpoint import save_variables_npz
     from av1tpu.utils.initialization import init_on_cpu
 
-    ckpts = tmp_path / "ckpts"
+    ckpts = tmp_path_factory.mktemp("random_ckpts")
     paths = {}
     for name, cls, seed in (
         ("stage1", Stage1Model, 1),
@@ -120,7 +121,14 @@ def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
             paths[name],
             {"params": v["params"], "batch_stats": v["batch_stats"]},
         )
+    return paths
 
+
+def test_eval_cli_fast(workspace, v6_dataset, random_ckpts, tmp_path):
+    """Default-suite coverage of the inference CLI surface without any
+    training: random-init checkpoints drive optimize_thresholds,
+    run_pipeline_eval (v6, all report artifacts) and analyze_confusion."""
+    paths = random_ckpts
     runs = tmp_path / "runs"
     optimize_thresholds.main([
         "--dataset-dir", str(v6_dataset), "--block-size", "16",
@@ -177,6 +185,37 @@ def test_eval_cli_fast(workspace, v6_dataset, tmp_path):
     assert "Pipeline runs" in text and "threshold sweep" in text
     assert "cascade error" in text
     assert text.count("data:image/png;base64,") >= 3  # confusion+cascade+sweep
+
+
+def test_certify_serving_cli(workspace, v6_dataset, random_ckpts, tmp_path):
+    """certify_serving: every serving row (flax / folded / gated) is
+    produced with valid metrics, agreement in [0,1], and positive
+    post-warmup throughput; the markdown table is written. int8 is
+    skipped here (covered at pipeline level in test_quant) to keep the
+    default suite fast."""
+    from av1tpu.cli import certify_serving
+
+    paths = random_ckpts
+    out = tmp_path / "cert"
+    certify_serving.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(out), "--batch-size", "16",
+        "--stage1-checkpoint", str(paths["stage1"]),
+        "--stage2-checkpoint", str(paths["stage2"]),
+        "--stage3-rect-checkpoint", str(paths["rect"]),
+        "--stage3-ab-checkpoint", str(paths["ab"]),
+        "--no-ab-fgvc", "--skip-int8", "--single-device",
+    ])
+    payload = json.loads((out / "serving_certification.json").read_text())
+    variants = [r["variant"].split("(")[0] for r in payload["rows"]]
+    assert variants == ["flax", "folded", "gated"]
+    for r in payload["rows"]:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert 0.0 <= r["agreement_vs_flax"] <= 1.0
+        assert r["throughput_superblocks_per_sec"] > 0
+    # flax is the reference row: agreement exactly 1 by construction
+    assert payload["rows"][0]["agreement_vs_flax"] == 1.0
+    assert (out / "serving_certification.md").read_text().count("|") > 10
 
 
 @pytest.fixture(scope="module")
