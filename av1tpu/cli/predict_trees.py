@@ -114,6 +114,14 @@ def main(argv=None) -> None:
                         default=True)
     parser.add_argument("--single-device", action="store_true",
                         help="disable the default all-local-devices mesh")
+    parser.add_argument("--level-capacity", type=float, nargs=4,
+                        default=None, metavar=("C64", "C32", "C16", "C8"),
+                        help="per-level node-evaluation capacities in "
+                        "(0, 1] (64 32 16 8 order; 1.0 = dense). A node "
+                        "only matters if every ancestor predicted SPLIT, "
+                        "so a static top-K over aliveness is exact when K "
+                        "covers the live set; alive overflow beyond K "
+                        "truncates that subtree and is reported")
     parser.add_argument("--folded", action="store_true",
                         help="serve each level through the BN-folded graph "
                         "(eval.folded, the bench-headline formulation — "
@@ -152,10 +160,16 @@ def main(argv=None) -> None:
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     summary = {}
+    capacities = None
+    if args.level_capacity is not None:
+        capacities = dict(zip((64, 32, 16, 8), args.level_capacity))
     for frame_index in args.frames:
         plane = read_y_frame(args.yuv, frame_index, geom)
         start = time.perf_counter()
-        result = predict_frame_trees(plane, predictors, args.batch_size, mesh=mesh)
+        result = predict_frame_trees(
+            plane, predictors, args.batch_size, mesh=mesh,
+            level_capacities=capacities,
+        )
         seconds = time.perf_counter() - start
         np.savez(
             out_dir / f"trees_frame{frame_index}.npz",
@@ -164,6 +178,9 @@ def main(argv=None) -> None:
         stats = tree_depth_stats(result["trees"])
         stats["superblocks"] = int(result["trees"].shape[0])
         stats["seconds"] = seconds
+        for key, value in result.items():
+            if key.startswith("overflow_"):
+                stats[key] = int(value)
         summary[str(frame_index)] = stats
     (out_dir / "tree_stats.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))

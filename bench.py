@@ -188,6 +188,9 @@ def bench_tpu() -> dict:
     _progress("composed 4-level tree cascade (device-resident superblocks)")
     results["tree_cascade"] = bench_tree_cascade(models, dtype)
 
+    _progress("capacity-gated tree cascade (alive top-K per level)")
+    results["tree_cascade_gated"] = bench_tree_cascade_gated(models, dtype)
+
     _progress("gated capacity 0.5 (folded)")
     gated = make_v6_pipeline_gated(
         models, capacity=0.5, stage1_threshold=0.45, input_dtype=dtype,
@@ -285,6 +288,103 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 512, iters: int = 20)
     }
 
 
+def bench_tree_cascade_gated(
+    models, dtype, n_superblocks: int = 512, iters: int = 20,
+    capacities=(1.0, 0.75, 0.375, 0.15),
+):
+    """Capacity-gated tree cascade (eval.tree_infer level_capacities
+    semantics): each level evaluates only a static top-K of its nodes
+    ranked by aliveness (every ancestor predicted SPLIT) — exact vs the
+    dense cascade whenever K covers the live set, which collapses down
+    the hierarchy (~54%/24%/8% of 32/16/8px nodes in the measured tree
+    corpus; the default capacities carry ~1.4-1.8x margin over those
+    rates). Compute cost depends only on K, so random-weight throughput
+    here transfers to trained checkpoints; the accuracy side is
+    certified by predict_trees --level-capacity on real checkpoints
+    (docs/EXPERIMENTS.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.codec.partitions import PARTITION_SPLIT, V6_FINAL_TO_RAW
+    from av1tpu.codec.tree import LEVEL_SIZES, NODES_PER_LEVEL, assemble_trees
+    from av1tpu.eval import make_v6_pipeline_folded
+    from av1tpu.eval.tree_infer import quad_tile_on_device
+
+    predict = make_v6_pipeline_folded(
+        models, stage1_threshold=0.45, float_dtype=dtype
+    )
+    remap = jnp.asarray(V6_FINAL_TO_RAW)
+    n = n_superblocks
+
+    def make_level(size, nodes, k):
+        total = n * nodes
+
+        @jax.jit
+        def level(sbs, alive):
+            """alive: (total,) bool -> (modes (n, nodes), next_alive)."""
+            blocks = quad_tile_on_device(sbs, size)
+            if k < total:
+                idx = jax.lax.top_k(alive.astype(jnp.float32), k)[1]
+                out = predict(blocks[idx])
+                final = jnp.zeros((total,), jnp.int32).at[idx].set(
+                    out["final"]
+                )
+            else:
+                final = predict(blocks)["final"]
+            modes = remap[final].reshape(n, nodes)
+            next_alive = jnp.repeat(
+                alive.reshape(n, nodes) & (modes == PARTITION_SPLIT),
+                4, axis=1,
+            ).reshape(-1)
+            return modes, next_alive
+
+        return level
+
+    sbs = jnp.asarray(
+        np.random.default_rng(3).integers(0, 1024, size=(n, 64, 64)),
+        dtype=jnp.uint16,
+    )
+    levels = []
+    ks = []
+    for (size, nodes), cap in zip(
+        zip(LEVEL_SIZES, NODES_PER_LEVEL), capacities
+    ):
+        total = n * nodes
+        k = min(max(int(np.ceil(cap * total)), 1), total)
+        ks.append(k)
+        _progress(f"  compiling gated cascade level {size}px (K={k})")
+        alive0 = jnp.ones((total,), bool)
+        levels.append(
+            make_level(size, nodes, k).lower(sbs, alive0).compile()
+        )
+    assemble = jax.jit(assemble_trees)
+
+    def cascade(sbs):
+        alive = jnp.ones((n * NODES_PER_LEVEL[0],), bool)
+        level_modes = []
+        for level in levels:
+            modes, alive = level(sbs, alive)
+            level_modes.append(modes)
+        return assemble(level_modes)
+
+    for _ in range(WARMUP_ITERS):
+        trees = cascade(sbs)
+    jax.block_until_ready(trees)
+    start = time.perf_counter()
+    for _ in range(iters):
+        trees = cascade(sbs)
+    jax.block_until_ready(trees)
+    seconds = time.perf_counter() - start
+    trees_per_sec = n * iters / seconds
+    return {
+        "trees_per_sec": round(trees_per_sec, 1),
+        "capacities": list(capacities),
+        "evaluated_nodes_per_tree": round(sum(ks) / n, 1),
+        "superblocks_per_dispatch": n,
+    }
+
+
 def bench_torch_cpu_reference(num_samples: int = 512, batch: int = 256) -> float:
     """Reference-equivalent pipeline throughput in eager torch on CPU."""
     import torch
@@ -371,6 +471,7 @@ def main() -> None:
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
                 "flax_graph": results["flax_graph"],
                 "tree_cascade": results["tree_cascade"],
+                "tree_cascade_gated": results["tree_cascade_gated"],
             }
         )
     )

@@ -213,3 +213,58 @@ def test_tree_accuracy_metrics():
     assert lvl64["node_accuracy"] == float((~split_roots).mean())
     # orphaned deeper nodes all count wrong
     assert scored["node_accuracy"] < perfect["node_accuracy"]
+
+
+def test_gated_tree_prediction_exact_and_overflow():
+    """level_capacities: static top-K over node aliveness equals the dense
+    cascade whenever K covers the live set (unreached nodes are masked by
+    assembly regardless), reports zero overflow there; starved capacities
+    report overflow and only ever truncate subtrees (gated reached-set is
+    a subset of dense)."""
+    import jax.numpy as jnp
+
+    from av1tpu.eval.tree_infer import predict_partition_trees
+
+    n = 12
+    # quadrant-structured brightness: a block "splits" iff its mean is
+    # bright (>150). Base 100 with a 1000-bright top-left 32px quadrant:
+    # root mean 325 -> SPLIT; at 32px only the TL child is bright; its
+    # four 16px children are all bright -> alive fractions collapse down
+    # the hierarchy (48/48, 48/192, 192/768) like real partition data.
+    sbs = np.full((n, 64, 64), 100, dtype=np.uint16)
+    sbs[:, :32, :32] = 1000
+
+    def fake_predict(x):
+        # v6 final ids: mean-bright blocks predict SPLIT (1), rest NONE (0)
+        bright = jnp.mean(x[..., 0], axis=(1, 2)) > 150
+        final = bright.astype(jnp.int32)
+        return {"final": final}
+
+    preds = {s: fake_predict for s in (64, 32, 16, 8)}
+    dense = predict_partition_trees(sbs, preds, batch_size=256)
+
+    covered = predict_partition_trees(
+        sbs, preds, batch_size=256,
+        level_capacities={32: 1.0, 16: 0.6, 8: 0.5},
+    )
+    np.testing.assert_array_equal(covered["trees"], dense["trees"])
+    assert covered["overflow_16"] == 0 and covered["overflow_8"] == 0
+
+    starved = predict_partition_trees(
+        sbs, preds, batch_size=256,
+        level_capacities={16: 1.0 / 16, 8: 1.0 / 64},
+    )
+    reached_dense = dense["trees"] >= 0
+    reached_gated = starved["trees"] >= 0
+    assert (reached_gated <= reached_dense).all()
+    assert starved["overflow_16"] > 0 or starved["overflow_8"] > 0
+    # slots reached by BOTH carry identical modes except alive-overflow
+    # nodes forced to NONE
+    both = reached_gated & reached_dense
+    diff = (starved["trees"] != dense["trees"]) & both
+    assert (starved["trees"][diff] == 0).all()
+
+    with pytest.raises(ValueError):
+        predict_partition_trees(
+            sbs, preds, level_capacities={8: 0.0}
+        )
