@@ -59,7 +59,7 @@ def pack_yuv(superblocks: np.ndarray, path: Path) -> int:
     return frames
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", type=Path, default=Path("runs/tree_demo"))
     parser.add_argument("--train-superblocks", type=int, default=12000)
@@ -83,7 +83,13 @@ def main():
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--sizes", type=int, nargs="+",
                         default=[64, 32, 16, 8])
-    args = parser.parse_args()
+    parser.add_argument("--resume", action="store_true",
+                        help="skip steps whose completion artifacts already "
+                        "exist under --out (each stage writes its "
+                        "*_history.json only on completion, so an "
+                        "interrupted stage reruns from scratch); requires "
+                        "the prior run's config to match")
+    args = parser.parse_args(argv)
     assert args.val_superblocks % SB_PER_FRAME == 0
 
     from av1tpu.cli import optimize_thresholds, predict_trees, \
@@ -95,11 +101,40 @@ def main():
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    prev = {}
+    if args.resume and (out / "RESULTS.json").exists():
+        prev = json.loads((out / "RESULTS.json").read_text())
+        guarded = ("train_superblocks", "val_superblocks", "batch_size",
+                   "stage1_epochs", "stage2_epochs", "stage3_epochs",
+                   "freeze_epochs", "calibrate", "bf16", "seed")
+        mismatch = {
+            k: (prev.get("config", {}).get(k), getattr(args, k))
+            for k in guarded
+            if prev.get("config", {}).get(k) != getattr(args, k)
+        }
+        if mismatch:
+            sys.exit(f"--resume: config mismatch vs {out / 'RESULTS.json'} "
+                     f"(prev, new): {mismatch}")
     results = {"config": vars(args) | {"out": str(out), "sizes": args.sizes},
                "sizes": {}}
+    if prev:
+        results["resumed"] = True
     bf16 = ["--bf16"] if args.bf16 else []
 
-    def step(name, fn, argv):
+    def step(name, fn, argv, done=None):
+        """Run one CLI step; with --resume, skip it when its completion
+        sentinels (``done``: path or paths, each written at step end)
+        all exist."""
+        sentinels = ([] if done is None
+                     else [done] if isinstance(done, (str, Path))
+                     else list(done))
+        if args.resume and sentinels and all(
+            Path(p).exists() for p in sentinels
+        ):
+            print(f"\n=== {name}: complete "
+                  f"({', '.join(Path(p).name for p in sentinels)} exist), "
+                  "skipped ===", flush=True)
+            return None
         print(f"\n=== {name} ===", flush=True)
         t0 = time.perf_counter()
         fn(argv)
@@ -133,23 +168,32 @@ def main():
     for size in args.sizes:
         sdir = out / f"size_{size}"
         ds = sdir / "dataset"
-        save_split(
-            ds, size, build_v6_bundle(train_sets[size]),
-            build_v6_bundle(val_sets[size]), "v6",
-        )
-        szres = {}
+        if not (args.resume
+                and (ds / f"block_{size}" / "metadata.json").exists()):
+            save_split(
+                ds, size, build_v6_bundle(train_sets[size]),
+                build_v6_bundle(val_sets[size]), "v6",
+            )
+        # carry forward measured walls for steps --resume skips below
+        szres = {
+            k: v
+            for k, v in prev.get("sizes", {}).get(str(size), {}).items()
+            if k.endswith("_wall")
+        }
         stage3_dir = sdir / "stage3_datasets"
         step(f"prepare_stage3[{size}]", prepare_stage3.main, [
             "--dataset-dir", str(ds), "--out", str(stage3_dir),
             "--block-size", str(size), "--ensemble-members", "0",
-        ])
+        ], done=[stage3_dir / h / f"block_{size}" / "metadata.json"
+                 for h in ("RECT", "AB")])
         common = ["--dataset-dir", str(ds), "--block-size", str(size),
                   "--batch-size", str(args.batch_size), *bf16]
         wall = step(f"stage1[{size}]", train_stage1.main, [
             *common, "--output-dir", str(sdir / "models"),
             "--epochs", str(args.stage1_epochs),
-        ])
-        szres["stage1_wall"] = round(wall, 1)
+        ], done=sdir / "models" / "stage1_history.json")
+        if wall is not None:
+            szres["stage1_wall"] = round(wall, 1)
         s1_ckpt = sdir / "models" / "stage1_best_variables.npz"
         if args.calibrate:
             step(f"calibrate[{size}]", optimize_thresholds.main, [
@@ -157,7 +201,7 @@ def main():
                 "--stage1-checkpoint", str(s1_ckpt),
                 "--output-dir", str(sdir / "calibration"),
                 "--grid", "0.30", "0.70", "0.05", *bf16,
-            ])
+            ], done=sdir / "calibration" / "threshold_summary.json")
             summary = json.loads(
                 (sdir / "calibration" / "threshold_summary.json").read_text()
             )
@@ -167,8 +211,9 @@ def main():
             "--epochs", str(args.stage2_epochs),
             "--freeze-epochs", str(args.freeze_epochs),
             "--stage1-checkpoint", str(s1_ckpt),
-        ])
-        szres["stage2_wall"] = round(wall, 1)
+        ], done=sdir / "models" / "stage2_history.json")
+        if wall is not None:
+            szres["stage2_wall"] = round(wall, 1)
         s2_ckpt = sdir / "models" / "stage2_best_variables.npz"
         wall = step(f"stage3_rect[{size}]", train_stage3.main, [
             "--head", "RECT",
@@ -177,8 +222,9 @@ def main():
             "--output-dir", str(sdir / "models"),
             "--epochs", str(args.stage3_epochs),
             "--stage2-checkpoint", str(s2_ckpt),
-        ])
-        szres["stage3_rect_wall"] = round(wall, 1)
+        ], done=sdir / "models" / "stage3_rect_history.json")
+        if wall is not None:
+            szres["stage3_rect_wall"] = round(wall, 1)
         wall = step(f"stage3_ab[{size}]", train_stage3.main, [
             "--head", "AB", "--fgvc",
             "--dataset-dir", str(stage3_dir), "--block-size", str(size),
@@ -186,8 +232,9 @@ def main():
             "--output-dir", str(sdir / "models"),
             "--epochs", str(args.stage3_epochs),
             "--stage2-checkpoint", str(s2_ckpt),
-        ])
-        szres["stage3_ab_wall"] = round(wall, 1)
+        ], done=sdir / "models" / "stage3_ab_fgvc_history.json")
+        if wall is not None:
+            szres["stage3_ab_wall"] = round(wall, 1)
         for stage, hist in (
             ("stage1", "stage1_history.json"),
             ("stage2", "stage2_history.json"),
@@ -228,13 +275,15 @@ def main():
         "--stage1-threshold", *thresholds,
         *(["--folded"] if args.folded else []),
         *bf16,
-    ])
+    ], done=tree_out / "tree_stats.json")
 
     pred_trees = np.concatenate([
         np.load(tree_out / f"trees_frame{i}.npz")["trees"]
         for i in range(frames)
     ])
     acc = tree_accuracy(pred_trees, val_trees)
+    if wall is None:  # --resume skipped the predict step
+        wall = prev.get("tree_accuracy", {}).get("predict_wall_seconds", 0.0)
     acc["predict_wall_seconds"] = round(wall, 1)
     results["tree_accuracy"] = acc
     (out / "RESULTS.json").write_text(json.dumps(results, indent=2))

@@ -268,3 +268,148 @@ def test_gated_tree_prediction_exact_and_overflow():
         predict_partition_trees(
             sbs, preds, level_capacities={8: 0.0}
         )
+
+
+def test_tree_demo_resume_skips_completed_steps(tmp_path, monkeypatch):
+    """examples/tree_demo.py --resume: steps whose completion sentinels
+    exist are skipped; an interrupted stage (no *_history.json) reruns;
+    a config mismatch refuses to resume. CLI mains are stubbed — this
+    exercises the orchestration, not training."""
+    import importlib.util
+    import json
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    spec = importlib.util.spec_from_file_location(
+        "tree_demo_module",
+        Path(__file__).resolve().parents[1] / "examples" / "tree_demo.py",
+    )
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+
+    calls = []
+
+    def opt(argv, flag):
+        return argv[argv.index(flag) + 1]
+
+    def stub_prepare(argv):
+        calls.append("prepare")
+        out, size = Path(opt(argv, "--out")), opt(argv, "--block-size")
+        for head in ("RECT", "AB"):
+            d = out / head / f"block_{size}"
+            d.mkdir(parents=True, exist_ok=True)
+            (d / "metadata.json").write_text("{}")
+
+    def train_stub(history_name):
+        def stub(argv):
+            name = (history_name(argv) if callable(history_name)
+                    else history_name)
+            calls.append(name)
+            out = Path(opt(argv, "--output-dir"))
+            out.mkdir(parents=True, exist_ok=True)
+            (out / name).write_text(
+                json.dumps([{"val_metrics": {"macro_f1": 0.5}}])
+            )
+        return stub
+
+    def stub_calibrate(argv):
+        calls.append("calibrate")
+        out = Path(opt(argv, "--output-dir"))
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "threshold_summary.json").write_text(
+            json.dumps({"f1": {"threshold": 0.4}})
+        )
+
+    def stub_predict(argv):
+        calls.append("predict")
+        out = Path(opt(argv, "--output-dir"))
+        out.mkdir(parents=True, exist_ok=True)
+        i = argv.index("--frames") + 1
+        while i < len(argv) and not argv[i].startswith("--"):
+            np.savez(out / f"trees_frame{argv[i]}.npz",
+                     trees=np.zeros((240, 85), np.int32))
+            i += 1
+        (out / "tree_stats.json").write_text("{}")
+
+    def stub_corpus(n, seed=42):
+        return (
+            np.zeros((n, 64, 64), np.uint16),
+            np.zeros((n, 85), np.int32),
+            {s: SimpleNamespace(labels=np.zeros(4)) for s in (64, 32, 16, 8)},
+        )
+
+    def stub_save_split(out_dir, size, train, val, variant):
+        calls.append(f"save_split{size}")
+        root = Path(out_dir) / f"block_{size}"
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "metadata.json").write_text("{}")
+        return root
+
+    import av1tpu.cli.optimize_thresholds
+    import av1tpu.cli.predict_trees
+    import av1tpu.cli.prepare_stage3
+    import av1tpu.cli.train_stage1
+    import av1tpu.cli.train_stage2
+    import av1tpu.cli.train_stage3
+    import av1tpu.data
+    import av1tpu.data.bundles
+    import av1tpu.data.synth_tree
+    import av1tpu.eval.tree_metrics
+
+    monkeypatch.setattr(av1tpu.cli.prepare_stage3, "main", stub_prepare)
+    monkeypatch.setattr(av1tpu.cli.train_stage1, "main",
+                        train_stub("stage1_history.json"))
+    monkeypatch.setattr(av1tpu.cli.train_stage2, "main",
+                        train_stub("stage2_history.json"))
+    monkeypatch.setattr(
+        av1tpu.cli.train_stage3, "main",
+        train_stub(lambda argv: "stage3_rect_history.json"
+                   if opt(argv, "--head") == "RECT"
+                   else "stage3_ab_fgvc_history.json"),
+    )
+    monkeypatch.setattr(av1tpu.cli.optimize_thresholds, "main",
+                        stub_calibrate)
+    monkeypatch.setattr(av1tpu.cli.predict_trees, "main", stub_predict)
+    monkeypatch.setattr(av1tpu.data.synth_tree, "tree_corpus", stub_corpus)
+    monkeypatch.setattr(av1tpu.data, "build_v6_bundle", lambda bs: bs)
+    monkeypatch.setattr(av1tpu.data.bundles, "save_split", stub_save_split)
+    monkeypatch.setattr(
+        av1tpu.eval.tree_metrics, "tree_accuracy",
+        lambda pred, truth: {
+            "per_level": [
+                {"block_size": s, "nodes_reached": 1, "node_accuracy": 0.5}
+                for s in (64, 32, 16, 8)
+            ],
+            "node_accuracy": 0.5, "exact_tree_match": 0.5,
+            "structure_accuracy": 0.5, "trees": int(pred.shape[0]),
+        },
+    )
+
+    out = tmp_path / "demo"
+    argv = ["--out", str(out), "--train-superblocks", "480",
+            "--val-superblocks", "240", "--calibrate"]
+
+    td.main(argv)
+    first_calls = list(calls)
+    assert "predict" in first_calls
+    assert first_calls.count("stage1_history.json") == 4
+    results = json.loads((out / "RESULTS.json").read_text())
+    assert "resumed" not in results
+
+    calls.clear()
+    td.main(argv + ["--resume"])
+    assert calls == []  # every step sentinel present -> all skipped
+    results = json.loads((out / "RESULTS.json").read_text())
+    assert results["resumed"] is True
+    assert "stage1_wall" in results["sizes"]["64"]  # carried forward
+    assert results["sizes"]["32"]["calibrated_threshold"] == 0.4
+
+    # interrupted stage: sentinel missing -> only that stage reruns
+    (out / "size_32" / "models" / "stage2_history.json").unlink()
+    calls.clear()
+    td.main(argv + ["--resume"])
+    assert calls == ["stage2_history.json"]
+
+    # config mismatch refuses to resume
+    with pytest.raises(SystemExit):
+        td.main(argv + ["--resume", "--seed", "7"])
