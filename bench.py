@@ -15,7 +15,9 @@ this host's CPU — measured live unless a cached measurement exists in
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "superblocks/sec", "vs_baseline": N}
 """
+import glob
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -451,9 +453,95 @@ def get_baseline() -> float:
     return value
 
 
+import os
+
+PROBE_TIMEOUT_S = int(os.environ.get("AV1TPU_BENCH_PROBE_TIMEOUT", "300"))
+PROBE_RETRY_WAIT_S = int(os.environ.get("AV1TPU_BENCH_PROBE_RETRY_WAIT", "60"))
+_PROBE_SRC = (
+    "import jax; d = jax.devices(); "
+    "import jax.numpy as jnp; x = jnp.ones((8, 8)); (x @ x).block_until_ready(); "
+    "print('PLATFORM=' + d[0].platform)"
+)
+
+
+def _probe_backend() -> tuple:
+    """Check the JAX backend from a SUBPROCESS with a hard timeout.
+
+    The axon TPU plugin's claim loop spins forever (no exception) when the
+    tunnel is down — observed killing round 3's driver bench (BENCH_r03
+    rc=1). An in-process try/except cannot bound that, so probe out of
+    process and kill on timeout. Returns (platform_or_None, error_or_None).
+    One bounded retry: the tunnel has been observed to flap.
+    """
+    last_err = None
+    for attempt in range(2):
+        if attempt:
+            _progress(
+                f"backend probe failed ({last_err}); retrying in "
+                f"{PROBE_RETRY_WAIT_S}s"
+            )
+            time.sleep(PROBE_RETRY_WAIT_S)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True,
+                text=True,
+                timeout=PROBE_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"backend probe hung >{PROBE_TIMEOUT_S}s (axon claim loop)"
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("PLATFORM="):
+                return line.split("=", 1)[1], None
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        last_err = tail[-1][:300] if tail else f"probe rc={proc.returncode}"
+    return None, last_err
+
+
+def _last_certified() -> dict:
+    """Newest archived bench figures (docs/results/bench_*.json), so a
+    backend outage still yields a JSON artifact carrying real numbers."""
+    paths = sorted(glob.glob(str(Path(__file__).parent / "docs/results/bench_*.json")))
+    if not paths:
+        return {}
+    try:
+        data = json.loads(Path(paths[-1]).read_text())
+        data["source"] = Path(paths[-1]).name
+        return data
+    except Exception:
+        return {}
+
+
+def _emit_failure(error: str) -> None:
+    """The one JSON line, failure form: parseable, value=0 so no stale
+    number is mistaken for a fresh run, last-certified figures attached."""
+    print(
+        json.dumps(
+            {
+                "metric": "superblocks/sec/chip stage1-3 hierarchical inference",
+                "value": 0.0,
+                "unit": "superblocks/sec",
+                "vs_baseline": 0.0,
+                "error": error,
+                "last_certified": _last_certified(),
+            }
+        )
+    )
+
+
 def main() -> None:
-    results = bench_tpu()
-    baseline = get_baseline()
+    platform, probe_err = _probe_backend()
+    if platform is None:
+        _emit_failure(f"JAX backend unavailable: {probe_err}")
+        return
+    _progress(f"backend probe ok: platform={platform}")
+    try:
+        results = bench_tpu()
+        baseline = get_baseline()
+    except Exception as exc:  # emit the line no matter what
+        _emit_failure(f"{type(exc).__name__}: {exc}")
+        return
     tpu_throughput = results["throughput"]
     print(
         json.dumps(
@@ -462,6 +550,7 @@ def main() -> None:
                 "value": round(tpu_throughput, 1),
                 "unit": "superblocks/sec",
                 "vs_baseline": round(tpu_throughput / baseline, 2),
+                "platform": platform,
                 "mfu_bf16": round(results["mfu"], 4) if results["mfu"] else None,
                 "flops_per_superblock": (
                     round(results["flops_per_sample"], 1)
