@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -163,6 +164,17 @@ def main(argv=None) -> None:
     capacities = None
     if args.level_capacity is not None:
         capacities = dict(zip((64, 32, 16, 8), args.level_capacity))
+        if capacities[64] < 1.0:
+            # the root level always evaluates dense (every root node is
+            # alive by definition), so a sub-1.0 C64 would silently do
+            # nothing — surface that instead of accepting it quietly
+            print(
+                f"warning: --level-capacity C64={capacities[64]:g} has no "
+                "effect: the 64px root level always evaluates dense; "
+                "gating applies to 32/16/8 only",
+                file=sys.stderr,
+            )
+            capacities[64] = 1.0
     for frame_index in args.frames:
         plane = read_y_frame(args.yuv, frame_index, geom)
         start = time.perf_counter()

@@ -48,6 +48,22 @@ def auto_capacity(
     row = min(
         sweep_rows, key=lambda r: abs(float(r["threshold"]) - threshold)
     )
+    # Refuse to extrapolate: a sweep whose grid does not span the serving
+    # threshold would silently return a capacity calibrated at a different
+    # operating point and under-provision K in deployment. Tolerance is
+    # one grid step (the sweep's own resolution).
+    grid = sorted(float(r["threshold"]) for r in sweep_rows)
+    step = max(
+        (b - a for a, b in zip(grid, grid[1:])), default=0.0
+    )
+    dist = abs(float(row["threshold"]) - threshold)
+    if dist > max(step, 1e-9):
+        raise ValueError(
+            f"calibration sweep does not cover threshold {threshold:g}: "
+            f"nearest row is at {float(row['threshold']):g} "
+            f"(distance {dist:g} > grid step {step:g}); re-run "
+            "optimize_thresholds with a grid spanning the serving point"
+        )
     if "gate_rate" in row:
         rate = float(row["gate_rate"])
     else:  # sweep written before gate_rate was recorded: derive from counts

@@ -143,11 +143,19 @@ def plot_tree_accuracy(tree_acc: Mapping) -> str:
     ax.text(len(vals) - 0.45, overall + 1.0, f"overall {overall:.1f}%",
             fontsize=9, color=_INK, ha="right")
     ax.set_xticks(range(len(vals)), labels)
+    # Headroom above the tallest bar so value labels (placed at v + 1) and
+    # the overall annotation never clip against the axis limit when node
+    # accuracies approach 100%.
+    ylim = min(104.0, max(max(vals), overall) * 1.18 + 2)
     for x, v in enumerate(vals):
-        ax.text(x, v + 1.0, f"{v:.1f}%", ha="center", color=_INK,
-                fontsize=9)
+        if v + 3.0 > ylim:  # label would clip: draw it inside the bar
+            ax.text(x, v - 1.0, f"{v:.1f}%", ha="center", va="top",
+                    color="white", fontsize=9)
+        else:
+            ax.text(x, v + 1.0, f"{v:.1f}%", ha="center", color=_INK,
+                    fontsize=9)
     ax.set_ylabel("node accuracy (%)")
-    ax.set_ylim(0, min(100.0, max(vals) * 1.18 + 2))
+    ax.set_ylim(0, ylim)
     ax.grid(True, axis="y", **_GRID)
     ax.set_axisbelow(True)
     for side in ("top", "right"):

@@ -146,8 +146,13 @@ def predict_partition_trees(
             final = scatter_final(jnp.asarray(out["final"]), idx, total)
             if as_numpy:
                 final = np.asarray(final)
-            n_alive = int(np.asarray(alive).sum())
-            per_level[f"overflow_{size}"] = max(0, n_alive - k)
+            # Overflow count stays a device scalar under as_numpy=False —
+            # int()/np.asarray here would force a host sync per gated level
+            # and defeat the IO/compute-overlap contract documented above.
+            overflow = jnp.maximum(score.sum().astype(jnp.int32) - k, 0)
+            per_level[f"overflow_{size}"] = (
+                int(overflow) if as_numpy else overflow
+            )
         else:
             # Cap the batch at the level's real block count (rounded up to
             # 256) so tail padding never dominates the transfer/compute.

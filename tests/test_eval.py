@@ -473,3 +473,9 @@ def test_auto_capacity_from_sweep():
     assert auto_capacity([{"threshold": 0.4, "gate_rate": 0.99}], 0.4) == 1.0
     with pytest.raises(ValueError):
         auto_capacity([], 0.4)
+    # a sweep whose grid does not span the serving threshold must refuse
+    # rather than silently calibrate at a different operating point
+    with pytest.raises(ValueError, match="does not cover"):
+        auto_capacity(rows, 0.60)  # grid step 0.05, nearest row 0.15 away
+    with pytest.raises(ValueError, match="does not cover"):
+        auto_capacity([{"threshold": 0.4, "gate_rate": 0.5}], 0.55)

@@ -264,6 +264,18 @@ def test_gated_tree_prediction_exact_and_overflow():
     diff = (starved["trees"] != dense["trees"]) & both
     assert (starved["trees"][diff] == 0).all()
 
+    # as_numpy=False contract: gated overflow counts stay device scalars
+    # (no per-level host sync), materializable by the caller at the end
+    ondev = predict_partition_trees(
+        sbs, preds, batch_size=256, as_numpy=False,
+        level_capacities={16: 1.0 / 16, 8: 1.0 / 64},
+    )
+    for key in ("overflow_16", "overflow_8"):
+        assert not isinstance(ondev[key], (int, np.ndarray))
+        assert hasattr(ondev[key], "device")  # a jax array scalar
+    assert int(ondev["overflow_16"]) == int(starved["overflow_16"])
+    assert int(ondev["overflow_8"]) == int(starved["overflow_8"])
+
     with pytest.raises(ValueError):
         predict_partition_trees(
             sbs, preds, level_capacities={8: 0.0}
