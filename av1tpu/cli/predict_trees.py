@@ -175,25 +175,42 @@ def main(argv=None) -> None:
                 file=sys.stderr,
             )
             capacities[64] = 1.0
-    for frame_index in args.frames:
-        plane = read_y_frame(args.yuv, frame_index, geom)
-        start = time.perf_counter()
-        result = predict_frame_trees(
-            plane, predictors, args.batch_size, mesh=mesh,
-            level_capacities=capacities,
-        )
-        seconds = time.perf_counter() - start
-        np.savez(
-            out_dir / f"trees_frame{frame_index}.npz",
-            **{k: v for k, v in result.items()},
-        )
-        stats = tree_depth_stats(result["trees"])
-        stats["superblocks"] = int(result["trees"].shape[0])
-        stats["seconds"] = seconds
-        for key, value in result.items():
-            if key.startswith("overflow_"):
-                stats[key] = int(value)
-        summary[str(frame_index)] = stats
+    # Frame-pipelined loop: each frame's trees dispatch on device with
+    # as_numpy=False (no sync), then the NEXT frame's disk read starts on a
+    # background thread BEFORE this frame's results are pulled to host.
+    # Disk IO + host tiling of frame N+1 therefore overlap frame N's
+    # device compute instead of serializing with it (round-3 weakness:
+    # the disk->trees path ran with zero IO/compute overlap).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as loader:
+        future = loader.submit(read_y_frame, args.yuv, args.frames[0], geom)
+        for pos, frame_index in enumerate(args.frames):
+            plane = future.result()
+            start = time.perf_counter()
+            result = predict_frame_trees(
+                plane, predictors, args.batch_size, mesh=mesh,
+                level_capacities=capacities, as_numpy=False,
+            )
+            # everything is dispatched — kick off the next frame's IO,
+            # then block on this frame's outputs
+            if pos + 1 < len(args.frames):
+                future = loader.submit(
+                    read_y_frame, args.yuv, args.frames[pos + 1], geom
+                )
+            result = {k: np.asarray(v) for k, v in result.items()}
+            seconds = time.perf_counter() - start
+            np.savez(
+                out_dir / f"trees_frame{frame_index}.npz",
+                **{k: v for k, v in result.items()},
+            )
+            stats = tree_depth_stats(result["trees"])
+            stats["superblocks"] = int(result["trees"].shape[0])
+            stats["seconds"] = seconds
+            for key, value in result.items():
+                if key.startswith("overflow_"):
+                    stats[key] = int(value)
+            summary[str(frame_index)] = stats
     (out_dir / "tree_stats.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 

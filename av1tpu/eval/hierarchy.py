@@ -409,6 +409,7 @@ def run_pipeline_batched(
     batch_size: int = 4096,
     mesh=None,
     as_numpy: bool = True,
+    prefetch: int = 2,
 ) -> Dict[str, np.ndarray]:
     """Stream a whole dataset through a fused pipeline in fixed-shape
     batches (pads the tail; trims outputs). Accepts host numpy arrays or
@@ -417,7 +418,14 @@ def run_pipeline_batched(
     placed batch-sharded over the data axis before dispatch (the predict_fn
     should have been built with the same mesh). ``as_numpy=False`` returns
     device arrays WITHOUT synchronizing — callers pipelining host IO
-    against device compute convert at the very end."""
+    against device compute convert at the very end.
+
+    ``prefetch`` (host-input path only) prepares and enqueues the next
+    ``prefetch`` chunks' host->device transfers from a background thread,
+    so the host-side staging copy and the tethered-link transfer of chunk
+    N+1 overlap chunk N's device compute instead of serializing with it
+    (round-3 weakness: the disk->trees path ran link-bound with zero
+    overlap). ``prefetch=0`` restores the fully-serial loop."""
     n = samples.shape[0]
     on_device = not isinstance(samples, np.ndarray)
     xp = jnp if on_device else np
@@ -428,8 +436,8 @@ def run_pipeline_batched(
         num_data = mesh.shape[DATA_AXIS]
         batch_size = -(-batch_size // num_data) * num_data
         sharding = batch_sharding(mesh)
-    outputs: Dict[str, List] = {}
-    for start in range(0, n, batch_size):
+
+    def prepare(start):
         chunk = samples[start : start + batch_size]
         if chunk.shape[0] < batch_size:
             pad = xp.repeat(chunk[:1], batch_size - chunk.shape[0], axis=0)
@@ -438,6 +446,37 @@ def run_pipeline_batched(
             chunk = jnp.asarray(chunk)
         if sharding is not None:
             chunk = jax.device_put(chunk, sharding)
+        return chunk
+
+    starts = list(range(0, n, batch_size))
+    if on_device or prefetch <= 0 or len(starts) <= 1:
+        chunks = map(prepare, starts)
+    else:
+        from queue import Queue
+        from threading import Thread
+
+        queue: Queue = Queue(maxsize=prefetch)
+
+        def producer():
+            try:
+                for start in starts:
+                    queue.put(prepare(start))
+            except BaseException as exc:  # surface in the consumer
+                queue.put(exc)
+
+        Thread(target=producer, daemon=True).start()
+
+        def drain():
+            for _ in starts:
+                item = queue.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        chunks = drain()
+
+    outputs: Dict[str, List] = {}
+    for chunk in chunks:
         result = predict_fn(chunk)
         # Keep chunk outputs on device: converting per chunk would force a
         # blocking sync per call and serialize the dispatch pipeline.

@@ -185,15 +185,20 @@ def predict_frame_trees(
     batch_size: int = 4096,
     mesh=None,
     level_capacities: Optional[Mapping[int, float]] = None,
+    as_numpy: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Whole-frame entry: tile a (H, W) luma plane into superblocks and
-    emit one partition tree per superblock (row-major order)."""
+    emit one partition tree per superblock (row-major order).
+
+    ``as_numpy=False`` returns device arrays without synchronizing, so a
+    frame-pipelined caller (cli.predict_trees) can start the next frame's
+    disk read + host tiling while this frame is still computing."""
     from av1tpu.ingest.tiler import tile_frame
 
     sbs, grid = tile_frame(np.asarray(y_plane), 64)
     result = predict_partition_trees(
         sbs, level_predictors, batch_size, mesh=mesh,
-        level_capacities=level_capacities,
+        level_capacities=level_capacities, as_numpy=as_numpy,
     )
     result["grid_shape"] = np.asarray([grid.num_rows, grid.num_cols])
     return result

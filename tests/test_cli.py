@@ -422,26 +422,43 @@ def test_predict_trees_cli(tmp_path):
             {"params": v["params"], "batch_stats": v["batch_stats"]},
         )
 
-    # tiny 128x64 clip = 2 superblocks/frame
+    # tiny 128x64 clip = 2 superblocks/frame, 2 frames (two frames so the
+    # frame-pipelined loop's background next-frame read actually runs)
     rng = np.random.default_rng(0)
     yuv = tmp_path / "clip_128x64_30.yuv"
     with open(yuv, "wb") as f:
-        plane = rng.integers(0, 1024, (64, 128), dtype=np.uint16)
-        f.write(plane.astype("<u2").tobytes())
-        f.write(np.zeros((32, 64), dtype="<u2").tobytes() * 2)
+        for _ in range(2):
+            plane = rng.integers(0, 1024, (64, 128), dtype=np.uint16)
+            f.write(plane.astype("<u2").tobytes())
+            f.write(np.zeros((32, 64), dtype="<u2").tobytes() * 2)
 
     out = tmp_path / "trees"
     predict_trees.main([
-        "--yuv", str(yuv), "--frames", "0",
+        "--yuv", str(yuv), "--frames", "0", "1",
         "--models-64", str(models_dir), "--models-32", str(models_dir),
         "--models-16", str(models_dir), "--models-8", str(models_dir),
         "--output-dir", str(out), "--batch-size", "64", "--no-ab-fgvc",
     ])
-    data = np.load(out / "trees_frame0.npz")
-    assert data["trees"].shape == (2, 85)
-    np.testing.assert_array_equal(data["grid_shape"], [1, 2])
+    for frame in (0, 1):
+        data = np.load(out / f"trees_frame{frame}.npz")
+        assert data["trees"].shape == (2, 85)
+        np.testing.assert_array_equal(data["grid_shape"], [1, 2])
     stats = json.loads((out / "tree_stats.json").read_text())
-    assert stats["0"]["superblocks"] == 2
+    assert stats["0"]["superblocks"] == 2 and stats["1"]["superblocks"] == 2
+
+    # gated run: C64 < 1.0 warns + is ignored (root always dense), the
+    # overflow counters land in the stats, and trees stay well-formed
+    out2 = tmp_path / "trees_gated"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0",
+        "--models-64", str(models_dir), "--models-32", str(models_dir),
+        "--models-16", str(models_dir), "--models-8", str(models_dir),
+        "--output-dir", str(out2), "--batch-size", "64", "--no-ab-fgvc",
+        "--level-capacity", "0.5", "1.0", "0.5", "0.25",
+    ])
+    stats2 = json.loads((out2 / "tree_stats.json").read_text())
+    assert "overflow_16" in stats2["0"] and "overflow_8" in stats2["0"]
+    assert np.load(out2 / "trees_frame0.npz")["trees"].shape == (2, 85)
 
 
 @slow

@@ -108,6 +108,36 @@ def test_v6_fused_routing_matches_gather_oracle():
     np.testing.assert_array_equal(out["final"], want)
     assert set(np.unique(out["final"])).issubset(set(range(8)))
 
+    # prefetch pipelining (background-thread chunk staging) must be a pure
+    # performance transform: identical outputs with it off, deeper, and on
+    # device inputs (which bypass it)
+    out_serial = run_pipeline_batched(predict, samples, batch_size=64, prefetch=0)
+    out_deep = run_pipeline_batched(predict, samples, batch_size=64, prefetch=4)
+    np.testing.assert_array_equal(out_serial["final"], want)
+    np.testing.assert_array_equal(out_deep["final"], want)
+    out_dev = run_pipeline_batched(predict, jnp.asarray(samples), batch_size=64)
+    np.testing.assert_array_equal(np.asarray(out_dev["final"]), want)
+
+
+def test_run_pipeline_batched_prefetch_propagates_errors():
+    """An exception in the PRODUCER thread (e.g. a bad disk read while
+    staging chunk N+1) must surface in the caller, not hang the queue."""
+    import pytest
+
+    class Flaky(np.ndarray):
+        def __getitem__(self, item):
+            if isinstance(item, slice) and item.start == 16:
+                raise RuntimeError("bad sector")
+            return super().__getitem__(item)
+
+    samples = np.zeros((64, 4), np.float32).view(Flaky)
+
+    def predict(chunk):
+        return {"final": chunk[:, 0]}
+
+    with pytest.raises(RuntimeError, match="bad sector"):
+        run_pipeline_batched(predict, samples, batch_size=16, prefetch=2)
+
 
 def test_v5_pipeline_fallback_semantics():
     """Without RECT/AB checkpoints the v5 routing falls back to the group's
