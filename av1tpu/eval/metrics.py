@@ -56,6 +56,15 @@ def compute_metrics(
     support = conf.sum(axis=1)
     total = conf.sum()
     weighted_f1 = float((f1 * support).sum() / total) if total else 0.0
+    # Macro averages run over the classes observed in y_true or y_pred,
+    # matching the reference's sklearn default (metrics.py:39-41 passes no
+    # `labels`, so sklearn infers the set from the data). A structurally
+    # absent class (e.g. SPLIT at block 8, which never occurs) must not
+    # drag macro-F1 down with a spurious 0 — that artifact produced the
+    # anomalous 0.607 stage-2 figure at 8px in the round-3 tree ladder.
+    observed = (support > 0) | (conf.sum(axis=0) > 0)
+    if not observed.any():
+        observed = np.ones(num_classes, dtype=bool)
 
     names = list(labels) if labels else [str(i) for i in range(num_classes)]
     per_class = {
@@ -69,10 +78,10 @@ def compute_metrics(
     }
     return {
         "accuracy": float(np.diag(conf).sum() / total) if total else 0.0,
-        "macro_f1": float(f1.mean()),
+        "macro_f1": float(f1[observed].mean()),
         "weighted_f1": weighted_f1,
-        "macro_precision": float(precision.mean()),
-        "macro_recall": float(recall.mean()),
+        "macro_precision": float(precision[observed].mean()),
+        "macro_recall": float(recall[observed].mean()),
         "per_class": per_class,
         "confusion_matrix": conf.tolist(),
         "class_names": names,

@@ -199,6 +199,35 @@ def test_compute_metrics_matches_sklearn():
     assert abs(m["weighted_f1"] - f1_score(y_true, y_pred, average="weighted")) < 1e-12
 
 
+def test_compute_metrics_absent_class_matches_sklearn():
+    """A class that never occurs in y_true or y_pred must be excluded from
+    macro averages (sklearn infers the label set from the data — the
+    reference passes no `labels` to precision_recall_fscore_support).
+    This is the exact shape of stage 2 at block 8: SPLIT never occurs, and
+    including its zero dragged the round-3 ladder figure to 0.607."""
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.metrics import f1_score, precision_score, recall_score
+
+    rng = np.random.default_rng(3)
+    # 3 nominal classes but class 0 (SPLIT) absent from truth and preds
+    y_true = rng.integers(1, 3, size=400)
+    y_pred = rng.integers(1, 3, size=400)
+    m = compute_metrics(y_true, y_pred, labels=["SPLIT", "RECT", "AB"])
+    assert abs(m["macro_f1"] - f1_score(y_true, y_pred, average="macro")) < 1e-12
+    assert abs(m["macro_precision"]
+               - precision_score(y_true, y_pred, average="macro")) < 1e-12
+    assert abs(m["macro_recall"]
+               - recall_score(y_true, y_pred, average="macro")) < 1e-12
+    # the per-class table still reports all three names
+    assert set(m["per_class"]) == {"SPLIT", "RECT", "AB"}
+    assert m["per_class"]["SPLIT"]["support"] == 0
+    # and an absent-but-predicted class IS included (sklearn union rule)
+    y_pred2 = y_pred.copy()
+    y_pred2[:5] = 0
+    m2 = compute_metrics(y_true, y_pred2, labels=["SPLIT", "RECT", "AB"])
+    assert abs(m2["macro_f1"] - f1_score(y_true, y_pred2, average="macro")) < 1e-12
+
+
 def test_auc_matches_sklearn():
     sklearn = pytest.importorskip("sklearn")
     from sklearn.metrics import roc_auc_score

@@ -86,6 +86,33 @@ def test_int8_close_to_float(stage1, images):
     assert prob_err < 0.06, prob_err
 
 
+def test_equalization_and_bias_correction_improve_int8(stage1, images):
+    """With an outlier activation channel (one conv1 output channel scaled
+    25x), plain per-tensor activation quantization loses resolution on
+    every other channel; per-channel range equalization folded into the
+    weights plus bias correction must recover most of that error."""
+    from flax.core import unfreeze
+
+    _, variables = stage1
+    v = jax.tree_util.tree_map(lambda t: t, unfreeze(variables))
+    k = jnp.asarray(v["params"]["backbone"]["layer1_0"]["conv1"]["kernel"])
+    v["params"]["backbone"]["layer1_0"]["conv1"]["kernel"] = (
+        k.at[..., :4].mul(25.0)
+    )
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q_plain = quantize_stage(v, x[:16], equalize=False, bias_correct=False)
+    q_full = quantize_stage(v, x[:16])
+
+    ref = np.asarray(q_full.float_forward(x))
+    mae_plain = np.abs(np.asarray(jax.jit(lambda t: q_plain(t))(x)) - ref).mean()
+    mae_full = np.abs(np.asarray(jax.jit(lambda t: q_full(t))(x)) - ref).mean()
+    assert mae_full < mae_plain, (mae_full, mae_plain)
+    # bias correction alone must not regress the plain path
+    q_bc = quantize_stage(v, x[:16], equalize=False, bias_correct=True)
+    mae_bc = np.abs(np.asarray(jax.jit(lambda t: q_bc(t))(x)) - ref).mean()
+    assert mae_bc <= mae_plain * 1.05, (mae_bc, mae_plain)
+
+
 def test_int8_pipeline_contract(v6_models, images):
     """The int8 pipeline honors the float pipeline's output contract: same
     keys/shapes, valid label range, routing == v6_route of its own stage
