@@ -106,25 +106,46 @@ def main(argv=None) -> None:
     recipe = replace(recipe, input_shape=(args.block_size, args.block_size, 1))
 
     if stage1_vars is not None:
-        # seed the backbone from stage 1 (reference 004:327-349)
         import jax
 
         dummy = jnp.zeros((2, args.block_size, args.block_size, 1))
         from av1tpu.utils.initialization import init_on_cpu
 
         fresh = init_on_cpu(recipe.model, jax.random.PRNGKey(args.seed), dummy)
-        try:
-            init_params = transplant_backbone(
-                fresh["params"], stage1_vars["params"], prefix="backbone"
-            )
-            init_stats = transplant_backbone(
-                dict(fresh.get("batch_stats", {})),
-                stage1_vars.get("batch_stats", {}),
-                prefix="backbone",
-            )
-            print("seeded backbone from stage-1 checkpoint")
-        except (KeyError, ValueError) as exc:
-            print(f"backbone transplant skipped: {exc}")
+        if args.variant == "v5":
+            # v5 010:111-115 loads the FULL stage-1 state (strict=False):
+            # backbone + trained stage1_head carry into the shared model,
+            # so the merged pipeline checkpoint keeps the stage-1 head.
+            import flax
+
+            init_params = flax.core.unfreeze(fresh["params"])
+            init_stats = flax.core.unfreeze(dict(fresh.get("batch_stats", {})))
+            for col, src in (
+                (init_params, stage1_vars.get("params", {})),
+                (init_stats, stage1_vars.get("batch_stats", {})),
+            ):
+                for k in list(col):
+                    if k in src:
+                        shapes = lambda t: jax.tree_util.tree_map(
+                            lambda a: a.shape, t
+                        )
+                        if shapes(src[k]) == shapes(col[k]):
+                            col[k] = src[k]
+            print("seeded full v5 state from stage-1 checkpoint (010:111-115)")
+        else:
+            # seed the backbone from stage 1 (reference 004:327-349)
+            try:
+                init_params = transplant_backbone(
+                    fresh["params"], stage1_vars["params"], prefix="backbone"
+                )
+                init_stats = transplant_backbone(
+                    dict(fresh.get("batch_stats", {})),
+                    stage1_vars.get("batch_stats", {}),
+                    prefix="backbone",
+                )
+                print("seeded backbone from stage-1 checkpoint")
+            except (KeyError, ValueError) as exc:
+                print(f"backbone transplant skipped: {exc}")
 
     mesh = make_cli_mesh(args.num_model_shards)
     result = train_stage(

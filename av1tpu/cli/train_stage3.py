@@ -54,7 +54,64 @@ def load_head_split(dataset_dir: Path, head: str, block_size: int, member: int =
     return Bundle.load(root / train_name), Bundle.load(root / "val.npz")
 
 
-def train_fgvc(args, train_b, val_b, mesh) -> None:
+def _load_stage2_vars(args):
+    """Stage-2 weights for backbone seeding; every reference stage-3
+    trainer loads them (005:448-457, 006:697-702, ensemble 265-271, v5
+    012:171-180) — silently missing files just train from scratch, like
+    the reference's ``Path(...).exists()`` guard."""
+    if args.stage2_checkpoint is None:
+        return None
+    if not Path(args.stage2_checkpoint).exists():
+        print(f"stage2 checkpoint {args.stage2_checkpoint} not found; "
+              "training from scratch")
+        return None
+    return load_model_variables(args.stage2_checkpoint)
+
+
+def _graft_stage2(fresh_vars, stage2_vars, v5: bool):
+    """Copy stage-2 subtrees into a fresh init's params/batch_stats.
+
+    v6 models share only the ``backbone`` subtree (005:451-457); the v5
+    shared model takes everything except the stage-2 head and specialist
+    heads (012:171-176's prefix filter). Shape-mismatched subtrees are
+    left at their fresh init, mirroring ``strict=False``."""
+    import flax
+
+    def allowed(k: str) -> bool:
+        if v5:
+            return k != "stage2_head" and not k.startswith("specialist_")
+        return k == "backbone"
+
+    out = []
+    for col in ("params", "batch_stats"):
+        dst = flax.core.unfreeze(fresh_vars.get(col, {}))
+        src = flax.core.unfreeze(stage2_vars.get(col, {}))
+        for k in list(dst):
+            if allowed(k) and k in src:
+                shapes = lambda t: jax.tree_util.tree_map(lambda a: a.shape, t)
+                if shapes(src[k]) == shapes(dst[k]):
+                    dst[k] = src[k]
+        out.append(dst)
+    return out[0], out[1]
+
+
+def _stage2_init(recipe_model, stage2_vars, args, seed: int, v5: bool = False):
+    """Fresh-init ``recipe_model`` and graft the stage-2 weights in.
+
+    Returns (init_params, init_batch_stats) for ``train_stage``, or
+    (None, None) when there is nothing to graft."""
+    if stage2_vars is None:
+        return None, None
+    from av1tpu.utils.initialization import init_on_cpu
+
+    dummy = jnp.zeros((2, args.block_size, args.block_size, 1))
+    fresh = init_on_cpu(recipe_model, jax.random.PRNGKey(seed), dummy)
+    params, stats = _graft_stage2(fresh, stage2_vars, v5=v5)
+    print("stage-2 weights grafted into stage-3 init")
+    return params, stats
+
+
+def train_fgvc(args, train_b, val_b, mesh, stage2_vars=None) -> None:
     """The production AB path: FGVC model + CutMix CE + center loss."""
     model = FGVCModel(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     steps_per_epoch = max(len(train_b) // args.batch_size, 1)
@@ -66,6 +123,16 @@ def train_fgvc(args, train_b, val_b, mesh) -> None:
         model, optimizer, jax.random.PRNGKey(args.seed),
         input_shape=(args.block_size, args.block_size, 1),
     )
+    if stage2_vars is not None:
+        # 006:697-702: FGVC starts from the stage-2 backbone
+        mp, bs = _graft_stage2(
+            {"params": state.params["model"], "batch_stats": state.batch_stats},
+            stage2_vars, v5=False,
+        )
+        state = state.replace(
+            params={**state.params, "model": mp}, batch_stats=bs
+        )
+        print("stage-2 backbone grafted into FGVC init (006:697-702)")
     arrays = {"samples": train_b.samples, "stage3_AB": train_b.labels["stage3_AB"]}
     val_arrays = {"samples": val_b.samples, "stage3_AB": val_b.labels["stage3_AB"]}
 
@@ -166,6 +233,13 @@ def main(argv=None) -> None:
 
     mesh = make_cli_mesh(args.num_model_shards)
     train_b, val_b = load_head_split(args.dataset_dir, args.head, args.block_size)
+    if len(train_b) == 0 or len(val_b) == 0:
+        parser.error(
+            f"head {args.head} has an empty "
+            f"{'train' if len(train_b) == 0 else 'val'} split at block "
+            f"{args.block_size} — the corpus has no samples for this head "
+            "(rerun dataset prep at a larger scale)"
+        )
     label_key = f"stage3_{args.head}"
     num_classes = 4 if args.head == "AB" else 2
 
@@ -207,9 +281,10 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     steps_per_epoch = max(len(train_b) // args.batch_size, 1)
+    stage2_vars = _load_stage2_vars(args)
 
     if args.head == "AB" and args.fgvc:
-        train_fgvc(args, train_b, val_b, mesh)
+        train_fgvc(args, train_b, val_b, mesh, stage2_vars)
         return
 
     if args.head == "AB" and args.ensemble:
@@ -229,9 +304,15 @@ def main(argv=None) -> None:
             recipe = replace(
                 recipe, input_shape=(args.block_size, args.block_size, 1)
             )
+            # per-member fresh init (head diversity) + shared stage-2
+            # backbone (ensemble reference 265-271)
+            m_params, m_stats = _stage2_init(
+                recipe.model, stage2_vars, args, seed=args.seed + 100 * member
+            )
             result = train_stage(
                 recipe, m_train, m_val, seed=args.seed + 100 * member,
-                mesh=mesh, checkpoint_dir=args.output_dir,
+                mesh=mesh, init_params=m_params, init_batch_stats=m_stats,
+                checkpoint_dir=args.output_dir,
                 checkpoint_every=args.checkpoint_every,
             )
             export_best(result, recipe.name, args.output_dir)
@@ -281,8 +362,13 @@ def main(argv=None) -> None:
             dtype=dtype,
         )
     recipe = replace(recipe, input_shape=(args.block_size, args.block_size, 1))
+    init_params, init_stats = _stage2_init(
+        recipe.model, stage2_vars, args, seed=args.seed,
+        v5=args.variant == "v5",
+    )
     result = train_stage(
         recipe, train_b, val_b, seed=args.seed, mesh=mesh,
+        init_params=init_params, init_batch_stats=init_stats,
         checkpoint_dir=args.output_dir, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every,
     )

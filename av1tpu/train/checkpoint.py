@@ -106,6 +106,37 @@ def transplant_backbone(
     return target
 
 
+def merge_v5_pipeline_variables(
+    stage2_vars: Dict[str, Any],
+    specialist_vars: Dict[str, Dict[str, Any]],
+) -> Dict[str, Any]:
+    """Assemble the merged v5 multi-head eval checkpoint.
+
+    Mirrors the reference's pipeline model assembly
+    (``013_run_pipeline_eval.py:66-94``): the stage-2 state supplies the
+    backbone + stage-1/stage-2 heads, then each specialist head subtree is
+    taken from its own stage-3 checkpoint. The result is the "merged
+    multi-head model variables" ``run_pipeline_eval --v5-checkpoint``
+    consumes.
+    """
+    import flax
+
+    out: Dict[str, Any] = {}
+    for col in ("params", "batch_stats"):
+        if col not in stage2_vars and not any(
+            col in v for v in specialist_vars.values()
+        ):
+            continue
+        merged = flax.core.unfreeze(stage2_vars.get(col, {}))
+        for head, vars_ in specialist_vars.items():
+            key = f"specialist_{head}"
+            src = vars_.get(col, {})
+            if key in src:
+                merged[key] = src[key]
+        out[col] = merged
+    return out
+
+
 def save_variables_npz(path: Path, variables: Dict[str, Any]) -> Path:
     """Template-free flat save of model variables (params/batch_stats).
 

@@ -232,6 +232,72 @@ def test_transplant_backbone():
     )
 
 
+def test_graft_stage2_v6_copies_backbone_only():
+    from av1tpu.cli.train_stage3 import _graft_stage2
+
+    model = TinyModel()
+    fresh = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 8, 8, 1)))
+    src = model.init(jax.random.PRNGKey(2), jnp.zeros((2, 8, 8, 1)))
+    # rename to the v6 convention the grafting keys on
+    fp = {"backbone": fresh["params"]["backbone_conv"],
+          "head": fresh["params"]["head_dense"]}
+    sp = {"backbone": src["params"]["backbone_conv"],
+          "head": src["params"]["head_dense"]}
+    params, _ = _graft_stage2({"params": fp}, {"params": sp}, v5=False)
+    np.testing.assert_array_equal(
+        np.asarray(params["backbone"]["kernel"]),
+        np.asarray(sp["backbone"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["kernel"]),
+        np.asarray(fp["head"]["kernel"]),
+    )
+
+
+def test_graft_stage2_v5_excludes_stage2_and_specialists():
+    from av1tpu.cli.train_stage3 import _graft_stage2
+
+    mk = lambda seed: {
+        "backbone": jnp.full((2,), float(seed)),
+        "stage1_head": jnp.full((2,), float(seed) + 0.1),
+        "stage2_head": jnp.full((2,), float(seed) + 0.2),
+        "specialist_RECT": jnp.full((2,), float(seed) + 0.3),
+    }
+    fresh, src = mk(1), mk(2)
+    params, _ = _graft_stage2({"params": fresh}, {"params": src}, v5=True)
+    # 012:171-176 prefix filter: backbone + stage1 head come over,
+    # stage2 head and specialist heads keep their fresh init
+    np.testing.assert_array_equal(params["backbone"], src["backbone"])
+    np.testing.assert_array_equal(params["stage1_head"], src["stage1_head"])
+    np.testing.assert_array_equal(params["stage2_head"], fresh["stage2_head"])
+    np.testing.assert_array_equal(
+        params["specialist_RECT"], fresh["specialist_RECT"]
+    )
+
+
+def test_merge_v5_pipeline_variables():
+    from av1tpu.train.checkpoint import merge_v5_pipeline_variables
+
+    stage2 = {
+        "params": {
+            "backbone": jnp.ones((2,)),
+            "stage1_head": jnp.ones((2,)) * 2,
+            "stage2_head": jnp.ones((2,)) * 3,
+            "specialist_RECT": jnp.zeros((2,)),
+            "specialist_AB": jnp.zeros((2,)),
+        },
+        "batch_stats": {"backbone": jnp.ones((2,)) * 9},
+    }
+    rect = {"params": {"specialist_RECT": jnp.ones((2,)) * 7}}
+    ab = {"params": {"specialist_AB": jnp.ones((2,)) * 8}}
+    merged = merge_v5_pipeline_variables(stage2, {"RECT": rect, "AB": ab})
+    # 013:66-94: stage-2 state is the base, specialists overwritten per-head
+    np.testing.assert_array_equal(merged["params"]["backbone"], stage2["params"]["backbone"])
+    np.testing.assert_array_equal(merged["params"]["specialist_RECT"], rect["params"]["specialist_RECT"])
+    np.testing.assert_array_equal(merged["params"]["specialist_AB"], ab["params"]["specialist_AB"])
+    np.testing.assert_array_equal(merged["batch_stats"]["backbone"], stage2["batch_stats"]["backbone"])
+
+
 def test_pad_to_multiple_marks_invalid():
     arrays = {"samples": np.ones((5, 2, 2, 1)), "stage1": np.ones(5, np.int32)}
     padded, valid = pad_to_multiple(arrays, 4)
