@@ -123,6 +123,10 @@ def main(argv=None) -> None:
                         "so a static top-K over aliveness is exact when K "
                         "covers the live set; alive overflow beyond K "
                         "truncates that subtree and is reported")
+    parser.add_argument("--serial-io", action="store_true",
+                        help="disable IO/compute overlap (read -> compute "
+                        "-> sync per frame, the pre-round-4 behavior); "
+                        "exists to measure the overlap gain A/B")
     parser.add_argument("--folded", action="store_true",
                         help="serve each level through the BN-folded graph "
                         "(eval.folded, the bench-headline formulation — "
@@ -184,17 +188,21 @@ def main(argv=None) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as loader:
-        future = loader.submit(read_y_frame, args.yuv, args.frames[0], geom)
+        if not args.serial_io:
+            future = loader.submit(read_y_frame, args.yuv, args.frames[0], geom)
         for pos, frame_index in enumerate(args.frames):
-            plane = future.result()
+            if args.serial_io:
+                plane = read_y_frame(args.yuv, frame_index, geom)
+            else:
+                plane = future.result()
             start = time.perf_counter()
             result = predict_frame_trees(
                 plane, predictors, args.batch_size, mesh=mesh,
-                level_capacities=capacities, as_numpy=False,
+                level_capacities=capacities, as_numpy=args.serial_io,
             )
             # everything is dispatched — kick off the next frame's IO,
             # then block on this frame's outputs
-            if pos + 1 < len(args.frames):
+            if not args.serial_io and pos + 1 < len(args.frames):
                 future = loader.submit(
                     read_y_frame, args.yuv, args.frames[pos + 1], geom
                 )

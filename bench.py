@@ -127,8 +127,9 @@ def bench_tpu() -> dict:
     Formulations measured and rejected (docs/PARITY.md "performance
     anatomy"): vmapped stacked backbones (7-14% slower), the Pallas
     layer-group mega-kernel (22x slower — relayout-bound at 4x4 spatial),
-    int8 PTQ (0.77x — dequant epilogues on an elementwise-bound graph),
-    grouped/shared-input conv packing (neutral to 1.8x slower).
+    grouped/shared-input conv packing (neutral to 1.8x slower). int8 PTQ
+    throughput is measured fresh each run (the ``int8`` section below) —
+    it stays the accuracy-certified alternative path, not the headline.
     """
     import jax
 
@@ -202,6 +203,25 @@ def bench_tpu() -> dict:
     # dispatch-noisy host (observed 1.6M-2.3M); the headline uses 50 too
     thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=50)
     results["gated_capacity_0.5"] = round(thr_gated, 1)
+
+    _progress("int8 PTQ pipeline (16px)")
+    # measured artifact for the int8 serving path (equalized per-channel
+    # calibration + bias correction, quant/ptq.py) — replaces the stale
+    # prose-only round-2 figure
+    from av1tpu.quant import make_v6_pipeline_int8
+
+    calib = jnp.asarray(
+        np.random.default_rng(1).integers(0, 1024, size=(512, 16, 16, 1)),
+        dtype=jnp.uint16,
+    )
+    predict_int8 = make_v6_pipeline_int8(
+        models, calib, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr_int8, _, _ = _time_predict(predict_int8, BATCH, 16, iters=20)
+    results["int8"] = {
+        "throughput": round(thr_int8, 1),
+        "vs_folded_headline": round(thr_int8 / headline, 3),
+    }
 
     _progress("device sections done")
     return results

@@ -115,6 +115,25 @@ def test_tree_cascade_section(bench_models):
 
 
 @slow
+def test_int8_section_runs(bench_models):
+    import jax.numpy as jnp
+
+    import bench
+    from av1tpu.quant import make_v6_pipeline_int8
+
+    models, dtype = bench_models
+    calib = jnp.asarray(
+        np.random.default_rng(1).integers(0, 1024, size=(32, 16, 16, 1)),
+        dtype=jnp.uint16,
+    )
+    predict = make_v6_pipeline_int8(
+        models, calib, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
+    assert thr > 0
+
+
+@slow
 def test_tree_cascade_gated_section(bench_models):
     import bench
     from av1tpu.codec.tree import NODES_PER_LEVEL

@@ -460,6 +460,22 @@ def test_predict_trees_cli(tmp_path):
     assert "overflow_16" in stats2["0"] and "overflow_8" in stats2["0"]
     assert np.load(out2 / "trees_frame0.npz")["trees"].shape == (2, 85)
 
+    # --serial-io (the pre-overlap A/B measurement path) must produce
+    # bitwise-identical trees to the pipelined loop
+    out3 = tmp_path / "trees_serial"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0", "1",
+        "--models-64", str(models_dir), "--models-32", str(models_dir),
+        "--models-16", str(models_dir), "--models-8", str(models_dir),
+        "--output-dir", str(out3), "--batch-size", "64", "--no-ab-fgvc",
+        "--serial-io",
+    ])
+    for frame in (0, 1):
+        np.testing.assert_array_equal(
+            np.load(out / f"trees_frame{frame}.npz")["trees"],
+            np.load(out3 / f"trees_frame{frame}.npz")["trees"],
+        )
+
 
 @slow
 def test_ab_ensemble_train_and_eval(workspace, v6_dataset, stage1_ckpt, tmp_path):
