@@ -435,9 +435,17 @@ def confusion_to_metrics(conf: np.ndarray) -> Dict[str, float]:
     denom = precision + recall
     f1 = np.divide(2 * precision * recall, denom, out=np.zeros_like(tp), where=denom > 0)
     total = conf.sum()
+    # Macro-average only over classes observed in targets or predictions —
+    # sklearn's label-inference semantics (the reference passes no `labels`).
+    # A structurally absent class (SPLIT at block 8: no sub-8px partitions
+    # in the corpus) must not contribute a spurious 0 (round-3 anomaly:
+    # 0.607 stage-2 "F1" at 8px was exactly this artifact).
+    observed = (support > 0) | (predicted > 0)
+    if not observed.any():
+        observed = np.ones_like(support, dtype=bool)
     return {
         "accuracy": float(tp.sum() / total) if total else 0.0,
-        "macro_f1": float(f1.mean()),
+        "macro_f1": float(f1[observed].mean()),
         "per_class_f1": f1.tolist(),
         "per_class_precision": precision.tolist(),
         "per_class_recall": recall.tolist(),

@@ -316,6 +316,26 @@ def test_confusion_metrics_formulas():
     assert abs(m["per_class_f1"][1] - f1_1) < 1e-9
 
 
+def test_confusion_metrics_exclude_absent_class():
+    """A class with zero support AND zero predictions (e.g. SPLIT at block
+    8, structurally absent) must not drag macro-F1 down with a spurious 0 —
+    sklearn's label-inference semantics. A class that IS predicted (even
+    with zero support) stays in the average."""
+    # class 0 absent entirely: macro over classes 1/2 only
+    conf = np.array([[0, 0, 0], [0, 8, 2], [0, 1, 9]])
+    m = confusion_to_metrics(conf)
+    f1_1 = m["per_class_f1"][1]
+    f1_2 = m["per_class_f1"][2]
+    assert abs(m["macro_f1"] - (f1_1 + f1_2) / 2) < 1e-9
+    # class 0 predicted (wrongly) despite zero support: included as 0
+    conf2 = np.array([[0, 0, 0], [3, 5, 2], [0, 1, 9]])
+    m2 = confusion_to_metrics(conf2)
+    assert abs(
+        m2["macro_f1"]
+        - (0.0 + m2["per_class_f1"][1] + m2["per_class_f1"][2]) / 3
+    ) < 1e-9
+
+
 def test_multihost_epoch_shards_cover_global_order():
     """Simulated 2-process epoch: each host consumes its contiguous shard of
     the identical global order; the union equals the single-host epoch."""
