@@ -175,8 +175,11 @@ def bench_tpu() -> dict:
     }
     # the other three levels of the partition hierarchy (same four models,
     # larger inputs -> more conv FLOPs/sample); fewer iters: these are
-    # secondary figures
-    for px, batch in ((8, BATCH), (32, 2048), (64, 512)):
+    # secondary figures. Batches from the round-4 on-chip sweep
+    # (examples/per_size_batch_sweep.py, docs/PARITY.md "per-size serving
+    # batch"): small blocks need far larger batches to fill the MXU's
+    # implicit-GEMM rows — 8px went 24.8% -> 52.4% MFU from 8192 -> 65536.
+    for px, batch in ((8, 65536), (32, 8192), (64, 2048)):
         _progress(f"block size {px}px")
         thr, fps, m = _time_predict(
             make_v6_pipeline_folded(
