@@ -149,7 +149,7 @@ def make_v6_pipeline_gated(
             models.stage3_ab_vars, x, train=False
         )
 
-    def predict(images) -> Dict[str, jnp.ndarray]:
+    def predict(images, valid) -> Dict[str, jnp.ndarray]:
         n = images.shape[0]
         k = max(1, int(-(-capacity * n // 1)))  # ceil, static
         x = images.astype(jnp.float32) / norm_scale
@@ -157,10 +157,17 @@ def make_v6_pipeline_gated(
 
         s1_logits = stage1_fn(x)
         s1_prob = jax.nn.sigmoid(s1_logits.astype(jnp.float32))
-        s1_pred = (s1_prob >= stage1_threshold).astype(jnp.int32)
+        # Batch-tail padding rows (run_pipeline_batched repeats a real
+        # sample to fill the fixed shape) must never win top-K slots: a
+        # padded chunk whose filler sample is gate-alive would otherwise
+        # evict real alive samples into SPLIT fallback (observed: 96.4%
+        # agreement on a 9,240-sample val whose tail chunk was 74% pad).
+        row_ok = jnp.arange(n) < valid
+        s1_pred = ((s1_prob >= stage1_threshold) & row_ok).astype(jnp.int32)
 
-        # top-K by gate probability; fixed-shape gather
-        order = jnp.argsort(-s1_prob)
+        # top-K by gate probability; fixed-shape gather. Padding rows are
+        # forced below every real probability.
+        order = jnp.argsort(-jnp.where(row_ok, s1_prob, -1.0))
         topk_idx = order[:k]
         x_sel = x[topk_idx]
 
@@ -191,9 +198,24 @@ def make_v6_pipeline_gated(
             "overflow": overflow,
         }
 
-    from av1tpu.eval.hierarchy import _jit_with_mesh
+    if mesh is None:
+        jitted = jax.jit(predict)
+    else:
+        from av1tpu.parallel.mesh import batch_sharding
 
-    return _jit_with_mesh(predict, mesh)
+        jitted = jax.jit(
+            predict, in_shardings=(batch_sharding(mesh), None)
+        )
+
+    def predict_gated(images, valid=None):
+        if valid is None:
+            valid = images.shape[0]
+        return jitted(images, jnp.int32(valid))
+
+    # run_pipeline_batched passes the chunk's real row count to predictors
+    # that declare this flag, so tail padding is excluded from the gate
+    predict_gated.accepts_valid = True
+    return predict_gated
 
 
 __all__ = ["auto_capacity", "make_v6_pipeline_gated"]

@@ -437,16 +437,22 @@ def run_pipeline_batched(
         batch_size = -(-batch_size // num_data) * num_data
         sharding = batch_sharding(mesh)
 
+    # Predictors carrying ``accepts_valid`` (e.g. the capacity-gated
+    # pipeline) receive each chunk's real row count so tail padding can't
+    # influence sample selection.
+    accepts_valid = getattr(predict_fn, "accepts_valid", False)
+
     def prepare(start):
         chunk = samples[start : start + batch_size]
-        if chunk.shape[0] < batch_size:
-            pad = xp.repeat(chunk[:1], batch_size - chunk.shape[0], axis=0)
+        valid = chunk.shape[0]
+        if valid < batch_size:
+            pad = xp.repeat(chunk[:1], batch_size - valid, axis=0)
             chunk = xp.concatenate([chunk, pad], axis=0)
         if not on_device:
             chunk = jnp.asarray(chunk)
         if sharding is not None:
             chunk = jax.device_put(chunk, sharding)
-        return chunk
+        return chunk, valid
 
     starts = list(range(0, n, batch_size))
     if on_device or prefetch <= 0 or len(starts) <= 1:
@@ -476,8 +482,10 @@ def run_pipeline_batched(
         chunks = drain()
 
     outputs: Dict[str, List] = {}
-    for chunk in chunks:
-        result = predict_fn(chunk)
+    for chunk, valid in chunks:
+        result = (
+            predict_fn(chunk, valid) if accepts_valid else predict_fn(chunk)
+        )
         # Keep chunk outputs on device: converting per chunk would force a
         # blocking sync per call and serialize the dispatch pipeline.
         for key, value in result.items():

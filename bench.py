@@ -580,6 +580,7 @@ def main() -> None:
                     if results["flops_per_sample"] else None
                 ),
                 "per_block_px": results["per_block_px"],
+                "int8": results["int8"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
                 "flax_graph": results["flax_graph"],
                 "tree_cascade": results["tree_cascade"],

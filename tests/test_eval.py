@@ -464,6 +464,50 @@ def test_gated_pipeline_overflow_fallback():
     np.testing.assert_array_equal(final[~computed], 1)  # SPLIT fallback
 
 
+def test_gated_pipeline_batch_tail_padding_cannot_evict_real_rows():
+    """Regression: run_pipeline_batched pads the last chunk by repeating
+    its first row; when that row is gate-alive, its copies must not win
+    top-K slots and evict real alive rows into SPLIT fallback (observed
+    as 96.45% agreement in the round-4 certification before the fix)."""
+    from flax import linen as nn
+
+    from av1tpu.eval.gated import make_v6_pipeline_gated
+
+    class MeanGate(nn.Module):
+        """Stage-1 logit proportional to mean intensity: bright = alive."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            self.param("dummy", nn.initializers.zeros, (1,))
+            return (jnp.mean(x, axis=(1, 2, 3)) - 0.5) * 40.0
+
+    s1_model = MeanGate()
+    s1_vars = s1_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    s2_model, s2_vars = make_stub(3, 61)
+    r_model, r_vars = make_stub(2, 62)
+    a_model, a_vars = make_stub(4, 63)
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+
+    # 38 samples at batch 32: one full chunk + a 6-row tail padded with 26
+    # copies of its FIRST row. Tail row 0 is the brightest (highest gate
+    # prob), rows 1-5 dimmer but alive; chunk 0 has 8 alive rows. With
+    # capacity 0.25 (k=8) each chunk's alive rows fit, so gated must equal
+    # dense everywhere — unless padding copies evict tail rows 1-5.
+    samples = np.full((38, 8, 8, 1), 100, dtype=np.uint16)  # dim: gate-dead
+    samples[:8] = 700  # chunk-0 alive rows
+    samples[32] = 1000  # tail row 0: brightest, the one that gets repeated
+    samples[33:38] = 700  # tail rows 1-5: alive, the eviction victims
+
+    dense = make_v6_pipeline(models, norm_scale=1023.0)
+    want = np.asarray(dense(jnp.asarray(samples))["final"])
+
+    gated = make_v6_pipeline_gated(models, capacity=0.25, norm_scale=1023.0)
+    out = run_pipeline_batched(gated, samples, batch_size=32)
+    np.testing.assert_array_equal(np.asarray(out["final"])[:38], want)
+
+
 def test_temperature_calibration():
     """fit_temperature recovers a known miscalibration scale and reduces
     ECE on overconfident logits."""
