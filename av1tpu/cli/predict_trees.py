@@ -30,7 +30,6 @@ import numpy as np
 from av1tpu.cli.common import load_model_variables
 from av1tpu.codec.tree import tree_depth_stats
 from av1tpu.eval.hierarchy import PipelineModels, make_v6_pipeline
-from av1tpu.eval.tree_infer import predict_frame_trees
 from av1tpu.ingest.yuv import Yuv420p10Geometry, infer_resolution, read_y_frame
 from av1tpu.models import (
     FGVCModel,
@@ -123,6 +122,14 @@ def main(argv=None) -> None:
                         "so a static top-K over aliveness is exact when K "
                         "covers the live set; alive overflow beyond K "
                         "truncates that subtree and is reported")
+    parser.add_argument("--frames-per-batch", type=int, default=1,
+                        help="stack this many frames' superblocks into one "
+                        "cascade dispatch. Per-frame calls are dispatch-"
+                        "bound on a tethered chip (a 240-superblock frame "
+                        "is ~7 ms of cascade compute but ~30x that in "
+                        "per-level host round-trips); stacking amortizes "
+                        "the dispatch chain over F frames at the cost of "
+                        "one extra graph specialization")
     parser.add_argument("--serial-io", action="store_true",
                         help="disable IO/compute overlap (read -> compute "
                         "-> sync per frame, the pre-round-4 behavior); "
@@ -179,46 +186,75 @@ def main(argv=None) -> None:
                 file=sys.stderr,
             )
             capacities[64] = 1.0
-    # Frame-pipelined loop: each frame's trees dispatch on device with
-    # as_numpy=False (no sync), then the NEXT frame's disk read starts on a
-    # background thread BEFORE this frame's results are pulled to host.
-    # Disk IO + host tiling of frame N+1 therefore overlap frame N's
-    # device compute instead of serializing with it (round-3 weakness:
-    # the disk->trees path ran with zero IO/compute overlap).
+    # Frame-pipelined loop: each group's trees dispatch on device with
+    # as_numpy=False (no sync), then the NEXT group's disk read + host
+    # tiling start on a background thread BEFORE this group's results are
+    # pulled to host. Disk IO therefore overlaps device compute (round-3
+    # weakness: zero IO/compute overlap), and --frames-per-batch stacks
+    # several frames' superblocks into one cascade dispatch to amortize
+    # the per-level host round-trips that dominate small frames.
     from concurrent.futures import ThreadPoolExecutor
+
+    from av1tpu.eval.tree_infer import predict_partition_trees
+    from av1tpu.ingest.tiler import tile_frame
+
+    fpb = max(1, args.frames_per_batch)
+    groups = [args.frames[i : i + fpb]
+              for i in range(0, len(args.frames), fpb)]
+
+    def load_group(indices):
+        tiles = [
+            tile_frame(read_y_frame(args.yuv, i, geom), 64) for i in indices
+        ]
+        sbs = (
+            np.concatenate([t[0] for t in tiles])
+            if len(tiles) > 1 else tiles[0][0]
+        )
+        return sbs, tiles[0][1]
 
     with ThreadPoolExecutor(max_workers=1) as loader:
         if not args.serial_io:
-            future = loader.submit(read_y_frame, args.yuv, args.frames[0], geom)
-        for pos, frame_index in enumerate(args.frames):
+            future = loader.submit(load_group, groups[0])
+        for pos, group in enumerate(groups):
             if args.serial_io:
-                plane = read_y_frame(args.yuv, frame_index, geom)
+                sbs, grid = load_group(group)
             else:
-                plane = future.result()
+                sbs, grid = future.result()
             start = time.perf_counter()
-            result = predict_frame_trees(
-                plane, predictors, args.batch_size, mesh=mesh,
+            result = predict_partition_trees(
+                sbs, predictors, args.batch_size, mesh=mesh,
                 level_capacities=capacities, as_numpy=args.serial_io,
             )
-            # everything is dispatched — kick off the next frame's IO,
-            # then block on this frame's outputs
-            if not args.serial_io and pos + 1 < len(args.frames):
-                future = loader.submit(
-                    read_y_frame, args.yuv, args.frames[pos + 1], geom
-                )
+            # everything is dispatched — kick off the next group's IO,
+            # then block on this group's outputs
+            if not args.serial_io and pos + 1 < len(groups):
+                future = loader.submit(load_group, groups[pos + 1])
             result = {k: np.asarray(v) for k, v in result.items()}
             seconds = time.perf_counter() - start
-            np.savez(
-                out_dir / f"trees_frame{frame_index}.npz",
-                **{k: v for k, v in result.items()},
-            )
-            stats = tree_depth_stats(result["trees"])
-            stats["superblocks"] = int(result["trees"].shape[0])
-            stats["seconds"] = seconds
-            for key, value in result.items():
-                if key.startswith("overflow_"):
-                    stats[key] = int(value)
-            summary[str(frame_index)] = stats
+            grid_shape = np.asarray([grid.num_rows, grid.num_cols])
+            frame_sbs = grid.num_rows * grid.num_cols
+            for j, frame_index in enumerate(group):
+                rows = slice(j * frame_sbs, (j + 1) * frame_sbs)
+                frame_result = {
+                    k: (v[rows] if v.ndim and v.shape[0] == len(group) * frame_sbs
+                        else v)
+                    for k, v in result.items()
+                }
+                np.savez(
+                    out_dir / f"trees_frame{frame_index}.npz",
+                    grid_shape=grid_shape, **frame_result,
+                )
+                stats = tree_depth_stats(frame_result["trees"])
+                stats["superblocks"] = int(frame_result["trees"].shape[0])
+                # group wall-clock amortized per frame (overflow counts
+                # stay per-group: the gate's top-K ran over the group)
+                stats["seconds"] = seconds / len(group)
+                if len(group) > 1:
+                    stats["frames_in_batch"] = len(group)
+                for key, value in result.items():
+                    if key.startswith("overflow_"):
+                        stats[key] = int(value)
+                summary[str(frame_index)] = stats
     (out_dir / "tree_stats.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
 

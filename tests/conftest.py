@@ -23,7 +23,23 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compile cache: the suite compiles several ResNet-18
 # forward/backward graphs; repeat runs skip all of them. (CPU backend
 # honors the cache — unlike the axon TPU AOT path.)
-_cache = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+# The cache stores XLA:CPU AOT machine code specialized to the compiling
+# host's CPU features; loading it on a host with different features can
+# SIGILL the process mid-suite (observed: "Fatal Python error" with
+# cpu_aot_loader feature-mismatch errors after the VM changed between
+# rounds). Key the directory by the host's feature set so a different
+# machine starts a fresh cache instead of executing foreign machine code.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next(line for line in f if line.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+_host_key = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+_cache = os.path.join(
+    os.path.dirname(__file__), ".jax_test_cache", _host_key
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -476,6 +476,27 @@ def test_predict_trees_cli(tmp_path):
             np.load(out3 / f"trees_frame{frame}.npz")["trees"],
         )
 
+    # --frames-per-batch stacks both frames into one cascade dispatch and
+    # must still emit per-frame npz files with bitwise-identical trees
+    # (the dense cascade is per-sample; stacking only changes batching)
+    out4 = tmp_path / "trees_stacked"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0", "1",
+        "--models-64", str(models_dir), "--models-32", str(models_dir),
+        "--models-16", str(models_dir), "--models-8", str(models_dir),
+        "--output-dir", str(out4), "--batch-size", "64", "--no-ab-fgvc",
+        "--frames-per-batch", "2",
+    ])
+    for frame in (0, 1):
+        data = np.load(out4 / f"trees_frame{frame}.npz")
+        np.testing.assert_array_equal(
+            np.load(out / f"trees_frame{frame}.npz")["trees"], data["trees"]
+        )
+        np.testing.assert_array_equal(data["grid_shape"], [1, 2])
+    stats4 = json.loads((out4 / "tree_stats.json").read_text())
+    assert stats4["0"]["frames_in_batch"] == 2
+    assert stats4["0"]["superblocks"] == 2
+
 
 @slow
 def test_ab_ensemble_train_and_eval(workspace, v6_dataset, stage1_ckpt, tmp_path):
