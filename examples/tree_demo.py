@@ -269,6 +269,9 @@ def main(argv=None):
     wall = step("predict_trees", predict_trees.main, [
         "--yuv", str(yuv_path),
         "--frames", *[str(i) for i in range(frames)],
+        # one cascade dispatch per 10 frames: 15.5x the per-frame loop on a
+        # tethered chip (docs/PARITY.md round-4 disk->trees A/B)
+        "--frames-per-batch", "10",
         *[a for s in args.sizes
           for a in (f"--models-{s}", str(out / f"size_{s}" / "models"))],
         "--output-dir", str(tree_out),
