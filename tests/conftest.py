@@ -12,9 +12,19 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU collectives run one thread per virtual device and ABORT the
+    # whole process if any participant misses the rendezvous window (40 s
+    # default). On a 1-core CI box under cold-compile load the 8 mesh
+    # threads starve past it (observed: 'Termination timeout for all
+    # gather ... only 6 of 8 arrived' killing the suite mid-test). These
+    # are liveness watchdogs, not correctness checks — give them room.
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
