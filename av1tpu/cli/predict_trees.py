@@ -235,24 +235,30 @@ def main(argv=None) -> None:
             frame_sbs = grid.num_rows * grid.num_cols
             for j, frame_index in enumerate(group):
                 rows = slice(j * frame_sbs, (j + 1) * frame_sbs)
-                frame_result = {
-                    k: (v[rows] if v.ndim and v.shape[0] == len(group) * frame_sbs
-                        else v)
-                    for k, v in result.items()
-                }
+                frame_result = {}
+                for k, v in result.items():
+                    if v.ndim and v.shape[0] == len(group) * frame_sbs:
+                        frame_result[k] = v[rows]
+                    elif k.startswith("overflow_") and len(group) > 1:
+                        # the gate's top-K ran over the whole group, so the
+                        # counter cannot be attributed to one frame — name
+                        # it group_* so summing per-frame files can't
+                        # over-count by frames_in_batch
+                        frame_result[f"group_{k}"] = v
+                    else:
+                        frame_result[k] = v
                 np.savez(
                     out_dir / f"trees_frame{frame_index}.npz",
                     grid_shape=grid_shape, **frame_result,
                 )
                 stats = tree_depth_stats(frame_result["trees"])
                 stats["superblocks"] = int(frame_result["trees"].shape[0])
-                # group wall-clock amortized per frame (overflow counts
-                # stay per-group: the gate's top-K ran over the group)
+                # group wall-clock amortized per frame
                 stats["seconds"] = seconds / len(group)
                 if len(group) > 1:
                     stats["frames_in_batch"] = len(group)
-                for key, value in result.items():
-                    if key.startswith("overflow_"):
+                for key, value in frame_result.items():
+                    if key.startswith(("overflow_", "group_overflow_")):
                         stats[key] = int(value)
                 summary[str(frame_index)] = stats
     (out_dir / "tree_stats.json").write_text(json.dumps(summary, indent=2))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from av1tpu.data.records import NORM_10BIT
-from av1tpu.eval.hierarchy import PipelineModels
+from av1tpu.eval.hierarchy import PipelineModels, _jit_with_mesh
 
 
 def auto_capacity(
@@ -198,14 +198,7 @@ def make_v6_pipeline_gated(
             "overflow": overflow,
         }
 
-    if mesh is None:
-        jitted = jax.jit(predict)
-    else:
-        from av1tpu.parallel.mesh import batch_sharding
-
-        jitted = jax.jit(
-            predict, in_shardings=(batch_sharding(mesh), None)
-        )
+    jitted = _jit_with_mesh(predict, mesh, n_scalar_args=1)
 
     def predict_gated(images, valid=None):
         if valid is None:

@@ -94,13 +94,17 @@ def _replicate_tree(tree, mesh):
     )
 
 
-def _jit_with_mesh(fn, mesh):
-    """jit ``fn(images)`` with the batch dim sharded over the data axis."""
+def _jit_with_mesh(fn, mesh, n_scalar_args: int = 0):
+    """jit ``fn(images, *scalars)`` with the batch dim sharded over the
+    data axis; ``n_scalar_args`` trailing args are left unsharded (used by
+    the capacity-gated pipeline's valid-row count)."""
     if mesh is None:
         return jax.jit(fn)
     from av1tpu.parallel.mesh import batch_sharding
 
-    return jax.jit(fn, in_shardings=(batch_sharding(mesh),))
+    return jax.jit(
+        fn, in_shardings=(batch_sharding(mesh),) + (None,) * n_scalar_args
+    )
 
 
 def v6_route(s1_pred, s2_pred, rect_pred, ab_pred):
@@ -458,26 +462,44 @@ def run_pipeline_batched(
     if on_device or prefetch <= 0 or len(starts) <= 1:
         chunks = map(prepare, starts)
     else:
-        from queue import Queue
-        from threading import Thread
+        from queue import Full, Queue
+        from threading import Event, Thread
 
         queue: Queue = Queue(maxsize=prefetch)
+        stop = Event()
+
+        def _put(item) -> bool:
+            # Timed put that gives up once the consumer is gone, so an
+            # abandoned generator (predict_fn raised mid-stream) can't pin
+            # this thread and its prepared device chunks for the process
+            # lifetime.
+            while not stop.is_set():
+                try:
+                    queue.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for start in starts:
-                    queue.put(prepare(start))
+                    if not _put(prepare(start)):
+                        return
             except BaseException as exc:  # surface in the consumer
-                queue.put(exc)
+                _put(exc)
 
         Thread(target=producer, daemon=True).start()
 
         def drain():
-            for _ in starts:
-                item = queue.get()
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            try:
+                for _ in starts:
+                    item = queue.get()
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
 
         chunks = drain()
 

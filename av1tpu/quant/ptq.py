@@ -543,35 +543,42 @@ def quantize_stage(
     if bias_correct:
         qbias = {}
 
-        def corrections():
+        # The calibration activations, float kernels, and int8 weights are
+        # passed as jit ARGUMENTS: closing over them would embed every
+        # tensor as an XLA compile-time constant, making compile time and
+        # memory scale with the calibration batch (and opening the whole
+        # graph to constant folding).
+        def corrections(captured_args, kernel_args, qw_args):
             out = {}
             for site, consumers in sites.items():
-                x = captured[site].astype(jnp.float32)
+                x = captured_args[site].astype(jnp.float32)
                 act = scales[site]
-                for wkey, kernel, stride in consumers:
+                for wkey, _, stride in consumers:
+                    kernel = kernel_args[wkey]
+                    q_int, q_scale = qw_args[wkey]
                     if kernel.ndim == 2:  # dense head layer
-                        y_f = x @ kernel.astype(jnp.float32)
+                        y_f = x @ kernel
                         y_q = (
-                            _int_dot(_quant_act(x, act), qw[wkey][0]).astype(
+                            _int_dot(_quant_act(x, act), q_int).astype(
                                 jnp.float32
                             )
-                            * (qw[wkey][1] * np.float32(act[1]))
+                            * (q_scale * np.float32(act[1]))
                         )
                     elif kernel.shape[0] == 1:  # 1x1 downsample conv
                         y_f = jax.lax.conv_general_dilated(
                             x,
-                            kernel.astype(jnp.float32),
+                            kernel,
                             (stride, stride),
                             "SAME",
                             dimension_numbers=_DIMNUMS,
                         )
                         y_q = _qconv1x1(
-                            x, act, qw[wkey][0], qw[wkey][1], stride, jnp.float32
+                            x, act, q_int, q_scale, stride, jnp.float32
                         )
                     else:
-                        y_f = _conv_f(x, kernel.astype(jnp.float32), stride)
+                        y_f = _conv_f(x, kernel, stride)
                         y_q = _qconv3x3(
-                            x, act, qw[wkey][0], qw[wkey][1], stride, jnp.float32
+                            x, act, q_int, q_scale, stride, jnp.float32
                         )
                     d = y_f - y_q
                     out[wkey] = jnp.mean(
@@ -579,7 +586,19 @@ def quantize_stage(
                     )
             return out
 
-        deltas = jax.jit(corrections)()
+        deltas = jax.jit(corrections)(
+            {site: captured[site] for site in sites},
+            {
+                wkey: kernel.astype(jnp.float32)
+                for consumers in sites.values()
+                for wkey, kernel, _ in consumers
+            },
+            {
+                wkey: (qw[wkey][0], qw[wkey][1])
+                for consumers in sites.values()
+                for wkey, _, _ in consumers
+            },
+        )
         for site, consumers in sites.items():
             for wkey, _, _ in consumers:
                 if wkey.startswith("head."):

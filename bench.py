@@ -514,6 +514,9 @@ def _probe_backend() -> tuple:
         except subprocess.TimeoutExpired:
             last_err = f"backend probe hung >{PROBE_TIMEOUT_S}s (axon claim loop)"
             continue
+        except OSError as exc:  # fork/ENOMEM on a loaded host
+            last_err = f"probe spawn failed: {exc}"
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("PLATFORM="):
                 return line.split("=", 1)[1], None
@@ -562,17 +565,15 @@ def main() -> None:
     try:
         results = bench_tpu()
         baseline = get_baseline()
-    except Exception as exc:  # emit the line no matter what
-        _emit_failure(f"{type(exc).__name__}: {exc}")
-        return
-    tpu_throughput = results["throughput"]
-    print(
-        json.dumps(
+        tpu_throughput = results["throughput"]
+        line = json.dumps(
             {
                 "metric": "superblocks/sec/chip stage1-3 hierarchical inference",
                 "value": round(tpu_throughput, 1),
                 "unit": "superblocks/sec",
-                "vs_baseline": round(tpu_throughput / baseline, 2),
+                "vs_baseline": (
+                    round(tpu_throughput / baseline, 2) if baseline else 0.0
+                ),
                 "platform": platform,
                 "mfu_bf16": round(results["mfu"], 4) if results["mfu"] else None,
                 "flops_per_superblock": (
@@ -587,7 +588,10 @@ def main() -> None:
                 "tree_cascade_gated": results["tree_cascade_gated"],
             }
         )
-    )
+    except BaseException as exc:  # emit the line no matter what
+        _emit_failure(f"{type(exc).__name__}: {exc}")
+        return
+    print(line)
 
 
 if __name__ == "__main__":

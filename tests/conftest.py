@@ -13,17 +13,22 @@ os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "collective_call_terminate_timeout" not in flags:
-    # XLA:CPU collectives run one thread per virtual device and ABORT the
-    # whole process if any participant misses the rendezvous window (40 s
-    # default). On a 1-core CI box under cold-compile load the 8 mesh
-    # threads starve past it (observed: 'Termination timeout for all
-    # gather ... only 6 of 8 arrived' killing the suite mid-test). These
-    # are liveness watchdogs, not correctness checks — give them room.
-    flags += (
-        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-        " --xla_cpu_collective_timeout_seconds=600"
-    )
+# XLA:CPU collectives run one thread per virtual device and ABORT the
+# whole process if any participant misses the rendezvous window (40 s
+# default). On a 1-core CI box under cold-compile load the 8 mesh
+# threads starve past it (observed: 'Termination timeout for all
+# gather ... only 6 of 8 arrived' killing the suite mid-test). These
+# are liveness watchdogs, not correctness checks — give them room.
+# Each flag is guarded separately so an explicit setting of either one
+# (e.g. a short timeout to reproduce the abort locally) is respected.
+# 3600 s, not 600: under AV1TPU_SLOW_TESTS on a 1-core box the cascade
+# CLIs interleave multi-minute compiles with executing collectives, and
+# 600 s was observed still aborting the suite ("Fatal Python error")
+# mid test_predict_trees_cli.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_timeout_seconds=3600"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -33,7 +33,17 @@ def _free_port() -> int:
 
 def _launch_workers(tmp_path: Path):
     env = os.environ.copy()
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # Keep the conftest's raised collective-watchdog timeouts (the workers
+    # run cross-process collectives under the same cold-compile load the
+    # in-process suite needed them for); only the device count changes.
+    inherited = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        inherited + ["--xla_force_host_platform_device_count=4"]
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     port = _free_port()
@@ -55,9 +65,15 @@ def _launch_workers(tmp_path: Path):
         for i in range(2)
     ]
     outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outputs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outputs.append(out)
+    finally:
+        for p in procs:  # don't leak hung workers past a timeout
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     return [
