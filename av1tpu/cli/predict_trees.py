@@ -48,7 +48,7 @@ CKPT_NAMES = {
 
 def build_level_predictor(
     model_dir: Path, threshold: float, dtype, ab_fgvc: bool, mesh=None,
-    folded: bool = False,
+    folded: bool = False, tta: bool = False, tta_align_ab: bool = False,
 ):
     loaded = {}
     for key, (cls, fname) in CKPT_NAMES.items():
@@ -76,7 +76,8 @@ def build_level_predictor(
             models, stage1_threshold=threshold, float_dtype=dtype, mesh=mesh
         )
     return make_v6_pipeline(
-        models, stage1_threshold=threshold, input_dtype=dtype, mesh=mesh
+        models, stage1_threshold=threshold, input_dtype=dtype, mesh=mesh,
+        tta=tta, tta_align_ab=tta_align_ab,
     )
 
 
@@ -92,6 +93,27 @@ def normalize_thresholds(values):
             f"got {len(values)}"
         )
     return values
+
+
+def split_group_result(result, n_frames, frame_sbs, j):
+    """Slice frame ``j``'s view out of a stacked multi-frame ``result``.
+
+    Per-superblock arrays (leading dim ``n_frames * frame_sbs``) are
+    sliced to the frame's rows. Gate-overflow counters from a stacked
+    dispatch are renamed ``group_overflow_*``: the gate's top-K ran over
+    the whole group, so the counter cannot be attributed to one frame and
+    a per-frame name would over-count by ``n_frames`` when summing the
+    per-frame files. Everything else passes through unchanged.
+    """
+    out = {}
+    for k, v in result.items():
+        if v.ndim and v.shape[0] == n_frames * frame_sbs:
+            out[k] = v[j * frame_sbs : (j + 1) * frame_sbs]
+        elif k.startswith("overflow_") and n_frames > 1:
+            out[f"group_{k}"] = v
+        else:
+            out[k] = v
+    return out
 
 
 def main(argv=None) -> None:
@@ -140,7 +162,20 @@ def main(argv=None) -> None:
                         "1.36x the flax graph on a v5e, 99.7%% final-label "
                         "agreement certified at dataset scale; an FGVC AB "
                         "checkpoint falls back to flax inside the graph)")
+    parser.add_argument("--tta", action="store_true",
+                        help="average each stage over the 4 TTA views "
+                        "(original/hflip/vflip/rot180) at every level — "
+                        "~4x the compute for an accuracy bump; flax graph "
+                        "only (incompatible with --folded)")
+    parser.add_argument("--tta-align-ab", action="store_true",
+                        help="with --tta: remap flipped views' AB logits "
+                        "through the training swap tables before averaging "
+                        "(the reference's TTA mixes the swapped pairs)")
     args = parser.parse_args(argv)
+    if args.tta and args.folded:
+        parser.error("--tta is incompatible with --folded")
+    if args.tta_align_ab and not args.tta:
+        parser.error("--tta-align-ab requires --tta")
 
     if args.resolution:
         w, h = (int(v) for v in args.resolution.lower().split("x"))
@@ -165,6 +200,7 @@ def main(argv=None) -> None:
         size: build_level_predictor(
             getattr(args, f"models_{size}"), threshold, dtype,
             args.ab_fgvc, mesh=mesh, folded=args.folded,
+            tta=args.tta, tta_align_ab=args.tta_align_ab,
         )
         for size, threshold in zip((64, 32, 16, 8), thresholds)
     }
@@ -234,19 +270,9 @@ def main(argv=None) -> None:
             grid_shape = np.asarray([grid.num_rows, grid.num_cols])
             frame_sbs = grid.num_rows * grid.num_cols
             for j, frame_index in enumerate(group):
-                rows = slice(j * frame_sbs, (j + 1) * frame_sbs)
-                frame_result = {}
-                for k, v in result.items():
-                    if v.ndim and v.shape[0] == len(group) * frame_sbs:
-                        frame_result[k] = v[rows]
-                    elif k.startswith("overflow_") and len(group) > 1:
-                        # the gate's top-K ran over the whole group, so the
-                        # counter cannot be attributed to one frame — name
-                        # it group_* so summing per-frame files can't
-                        # over-count by frames_in_batch
-                        frame_result[f"group_{k}"] = v
-                    else:
-                        frame_result[k] = v
+                frame_result = split_group_result(
+                    result, len(group), frame_sbs, j
+                )
                 np.savez(
                     out_dir / f"trees_frame{frame_index}.npz",
                     grid_shape=grid_shape, **frame_result,

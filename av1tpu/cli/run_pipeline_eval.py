@@ -72,6 +72,8 @@ def build_v6(args, dtype, mesh=None):
         ab_cls = FGVCModel if args.ab_fgvc else Stage3ABModel
         s3a, s3av = load(args.stage3_ab_checkpoint, ab_cls)
     models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
+    if args.tta_align_ab and not args.tta:
+        raise SystemExit("--tta-align-ab requires --tta")
     if args.int8 or args.folded:
         if args.tta or ab_ensemble is not None:
             raise SystemExit(
@@ -120,7 +122,8 @@ def build_v6(args, dtype, mesh=None):
         )
     return make_v6_pipeline(
         models, stage1_threshold=args.stage1_threshold, input_dtype=dtype,
-        tta=args.tta, ab_ensemble_vars=ab_ensemble, mesh=mesh,
+        tta=args.tta, tta_align_ab=args.tta_align_ab,
+        ab_ensemble_vars=ab_ensemble, mesh=mesh,
     )
 
 
@@ -148,6 +151,12 @@ def main(argv=None) -> None:
                         "soft-vote the AB stage over its members")
     parser.add_argument("--tta", action="store_true",
                         help="average each stage over 4 TTA views")
+    parser.add_argument("--tta-align-ab", action="store_true",
+                        help="with --tta: remap each flipped view's AB "
+                        "logits through the training swap tables before "
+                        "averaging (pools HORZ_A/B and VERT_A/B evidence "
+                        "instead of mixing it; the reference's TTA omits "
+                        "this)")
     parser.add_argument("--capacity", type=str, default=None,
                         help="v6 only: fixed-capacity gated inference — run "
                         "stages 2/3 on only this fraction of the batch "

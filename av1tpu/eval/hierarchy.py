@@ -162,6 +162,7 @@ def make_v6_pipeline(
     norm_scale: float = NORM_10BIT,
     input_dtype=jnp.float32,
     tta: bool = False,
+    tta_align_ab: bool = False,
     ab_ensemble_vars: Optional[List[Mapping]] = None,
     stacked: bool = False,
     mesh=None,
@@ -175,7 +176,12 @@ def make_v6_pipeline(
 
     ``tta`` averages each stage's logits over the 4 test-time-augmentation
     views (original/hflip/vflip/rot180 — augmentation.py:251-276), still in
-    one fused graph. ``ab_ensemble_vars`` replaces the single AB model with
+    one fused graph. ``tta_align_ab`` additionally gathers each flipped
+    view's AB logits through its training swap-table permutation
+    (augment.TTA_AB_ALIGN_V6) before averaging, so HORZ_A/HORZ_B and
+    VERT_A/VERT_B evidence pools instead of cross-cancelling; the
+    reference's TTA omits this (off by default = reference parity).
+    ``ab_ensemble_vars`` replaces the single AB model with
     soft voting over the member variable trees (ensemble.py:51-56
     semantics), evaluated as one vmapped forward over stacked params.
 
@@ -219,13 +225,21 @@ def make_v6_pipeline(
         stage_vars = [_replicate_tree(v, mesh) for v in stage_vars]
     s1_vars, s2_vars, s3r_vars, s3a_vars = stage_vars
 
-    def stage_logits(model, variables, x):
+    def stage_logits(model, variables, x, align_ab: bool = False):
         if not tta:
             return model.apply(variables, x, train=False)
-        from av1tpu.train.augment import tta_views
+        from av1tpu.train.augment import align_tta_ab_logits, tta_views
 
         views = tta_views(x)
         logits = jax.vmap(lambda v: model.apply(variables, v, train=False))(views)
+        if align_ab:
+            # Re-express each flipped view's AB logits in the original
+            # frame's class order before averaging. The reference's TTA
+            # (augmentation.py:251-276) skips this, so its mean mixes the
+            # swapped pairs (HORZ_A evidence lands on HORZ_B under hflip
+            # per the training swap tables) — opt-in improvement, off by
+            # default for reference parity.
+            logits = align_tta_ab_logits(logits)
         return jnp.mean(logits, axis=0)
 
     def stage_raw_logits(x):
@@ -270,13 +284,15 @@ def make_v6_pipeline(
 
         if ab_stacked is not None:
             member_logits = jax.vmap(
-                lambda v: stage_logits(models.stage3_ab, v, x)
+                lambda v: stage_logits(models.stage3_ab, v, x, tta_align_ab)
             )(ab_stacked)
             ab_probs = jnp.mean(jax.nn.softmax(member_logits, axis=-1), axis=0)
             ab_pred = jnp.argmax(ab_probs, axis=-1).astype(jnp.int32)
         else:
             if ab_logits is None:
-                ab_logits = stage_logits(models.stage3_ab, s3a_vars, x)
+                ab_logits = stage_logits(
+                    models.stage3_ab, s3a_vars, x, tta_align_ab
+                )
             ab_pred = jnp.argmax(ab_logits, axis=-1).astype(jnp.int32)
 
         final = v6_route(s1_pred, s2_pred, rect_pred, ab_pred)

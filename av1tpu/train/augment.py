@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from av1tpu.codec.partitions import (
     AB_HFLIP_SWAP_V6,
@@ -253,7 +254,35 @@ def tta_views(images):
     )
 
 
+# Per-view AB label permutation induced by each tta_views transform, in
+# tta_views order (identity, hflip, vflip, rot180 = hflip∘vflip), from the
+# training swap tables (codec/partitions.py AB_*_SWAP_V6). All four views
+# are involutions, so each row is its own inverse. Reference TTA
+# (augmentation.py:251-276) averages AB logits WITHOUT this remap, mixing
+# e.g. HORZ_A evidence into HORZ_B for the flipped views; gathering each
+# view's logits through its row re-expresses them in the original frame's
+# classes before averaging. See align_tta_ab_logits.
+TTA_AB_ALIGN_V6 = np.stack([
+    np.arange(4, dtype=np.int32),
+    AB_HFLIP_SWAP_V6,
+    AB_VFLIP_SWAP_V6,
+    AB_HFLIP_SWAP_V6[AB_VFLIP_SWAP_V6],  # rot180 = hflip ∘ vflip
+])
+
+
+def align_tta_ab_logits(view_logits):
+    """Re-express per-view AB logits (4, N, 4) in the ORIGINAL frame's
+    class order: aligned[v, :, c] = view_logits[v, :, P_v[c]], where P_v is
+    the swap-table label map of view v (label(T_v(x)) = P_v[label(x)]).
+    Averaging the aligned views pools each class's evidence instead of
+    mixing swapped pairs (the reference's naive mean)."""
+    perms = jnp.asarray(TTA_AB_ALIGN_V6)
+    return jax.vmap(lambda l, p: l[:, p])(view_logits, perms)
+
+
 __all__ = [
+    "TTA_AB_ALIGN_V6",
+    "align_tta_ab_logits",
     "batch_augment",
     "batch_augment_labeled",
     "coarse_dropout",

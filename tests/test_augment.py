@@ -154,6 +154,38 @@ def test_tta_views():
     )
 
 
+def test_tta_ab_align_tables():
+    """The per-view AB alignment rows are the training swap tables in
+    tta_views order, each an involution, with rot180 = hflip ∘ vflip."""
+    from av1tpu.codec.partitions import AB_HFLIP_SWAP_V6, AB_VFLIP_SWAP_V6
+    from av1tpu.train.augment import TTA_AB_ALIGN_V6
+
+    np.testing.assert_array_equal(TTA_AB_ALIGN_V6[0], np.arange(4))
+    np.testing.assert_array_equal(TTA_AB_ALIGN_V6[1], AB_HFLIP_SWAP_V6)
+    np.testing.assert_array_equal(TTA_AB_ALIGN_V6[2], AB_VFLIP_SWAP_V6)
+    np.testing.assert_array_equal(TTA_AB_ALIGN_V6[3], [1, 0, 3, 2])
+    for row in TTA_AB_ALIGN_V6:
+        np.testing.assert_array_equal(row[row], np.arange(4))
+
+
+def test_align_tta_ab_logits_recovers_equivariant_model():
+    """For a perfectly swap-equivariant model (its logits on view v carry
+    class c's evidence at slot P_v[c]), aligned views all equal the base
+    logits — so the aligned mean is exact — while the naive mean mixes the
+    swapped pairs."""
+    from av1tpu.train.augment import TTA_AB_ALIGN_V6, align_tta_ab_logits
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(5, 4)).astype(np.float32)
+    view_logits = np.stack([base[:, p] for p in TTA_AB_ALIGN_V6])
+
+    aligned = np.asarray(align_tta_ab_logits(jnp.asarray(view_logits)))
+    for v in range(4):
+        np.testing.assert_allclose(aligned[v], base, rtol=1e-6)
+    np.testing.assert_allclose(aligned.mean(axis=0), base, rtol=1e-6)
+    assert not np.allclose(view_logits.mean(axis=0), base)
+
+
 def test_factory():
     assert get_augmentation("stage1") is stage1_augment
     assert get_augmentation("stage3_ab") is stage3_ab_augment

@@ -394,6 +394,34 @@ def test_predict_trees_threshold_normalization():
             normalize_thresholds(bad)
 
 
+def test_predict_trees_split_group_result():
+    """Frame split of a stacked (--frames-per-batch) result: per-superblock
+    arrays slice to the frame's rows; gate-overflow counters rename to
+    group_* (the top-K ran over the whole group, so a per-frame name would
+    over-count by frames_in_batch when summing stats files); single-frame
+    groups keep the plain overflow_* names."""
+    from av1tpu.cli.predict_trees import split_group_result
+
+    trees = np.arange(6)[:, None] * np.ones((6, 85), np.int32)
+    result = {
+        "trees": trees,  # 2 frames x 3 superblocks
+        "overflow_16": np.asarray(4),
+        "overflow_8": np.asarray(1),
+    }
+    f0 = split_group_result(result, 2, 3, 0)
+    f1 = split_group_result(result, 2, 3, 1)
+    np.testing.assert_array_equal(f0["trees"], trees[:3])
+    np.testing.assert_array_equal(f1["trees"], trees[3:])
+    for f in (f0, f1):
+        assert f["group_overflow_16"] == 4 and f["group_overflow_8"] == 1
+        assert not any(k.startswith("overflow_") for k in f)
+
+    single = split_group_result(result, 1, 6, 0)
+    np.testing.assert_array_equal(single["trees"], trees)
+    assert single["overflow_16"] == 4
+    assert not any(k.startswith("group_") for k in single)
+
+
 @slow
 def test_predict_trees_cli(tmp_path):
     """predict_trees: whole-frame partition-tree prediction end to end."""

@@ -139,6 +139,36 @@ def test_run_pipeline_batched_prefetch_propagates_errors():
         run_pipeline_batched(predict, samples, batch_size=16, prefetch=2)
 
 
+def test_run_pipeline_batched_prefetch_releases_producer():
+    """When the CONSUMER dies (predict_fn raises mid-stream) the producer
+    thread must notice and exit instead of blocking forever on a full
+    queue, pinning its staged device chunks for the process lifetime."""
+    import threading
+    import time
+
+    import pytest
+
+    before = {t.ident for t in threading.enumerate()}
+    samples = np.zeros((128, 4), np.float32)
+
+    def predict(chunk):
+        raise RuntimeError("consumer died")
+
+    with pytest.raises(RuntimeError, match="consumer died"):
+        run_pipeline_batched(predict, samples, batch_size=8, prefetch=1)
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.daemon and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"producer thread leaked: {leaked}"
+
+
 def test_v5_pipeline_fallback_semantics():
     """Without RECT/AB checkpoints the v5 routing falls back to the group's
     first member (013:233-237)."""
@@ -338,6 +368,81 @@ def test_pipeline_tta_option():
 
     x = jnp.asarray(samples.astype(np.float32) / 1023.0)
     views = tta_views(x)
+    s2_logits = jnp.mean(
+        jax.vmap(lambda v: s2_model.apply(s2_vars, v))(views), axis=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["stage2_pred"]), np.asarray(jnp.argmax(s2_logits, axis=-1))
+    )
+
+
+def test_pipeline_tta_align_ab_option():
+    """tta_align_ab must equal the manual per-view swap-table gather +
+    mean on the AB stage (and leave the other stages' TTA unchanged).
+
+    The AB stage needs an orientation-SENSITIVE stub: StubModel pools
+    globally, so it is flip-invariant and group-averaging its logits ties
+    every swapped pair exactly, making the aligned path indistinguishable
+    from a tie-break."""
+
+    class OrientedStub(nn.Module):
+        num_outputs: int
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h, w = x.shape[1] // 2, x.shape[2] // 2
+            feats = jnp.stack(
+                [
+                    jnp.mean(x[:, :h], axis=(1, 2, 3)),   # top half
+                    jnp.mean(x[:, :, :w], axis=(1, 2, 3)),  # left half
+                    jnp.mean(x, axis=(1, 2, 3)),
+                    jnp.std(x, axis=(1, 2, 3)),
+                ],
+                axis=-1,
+            )
+            kernel = self.param(
+                "kernel", nn.initializers.normal(1.0), (4, self.num_outputs)
+            )
+            return feats @ kernel
+
+    s1_model, s1_vars = make_stub(1, 40)
+    s2_model, s2_vars = make_stub(3, 41)
+    r_model, r_vars = make_stub(2, 42)
+    a_model = OrientedStub(num_outputs=4)
+    a_vars = a_model.init(jax.random.PRNGKey(43), jnp.zeros((1, 8, 8, 1)))
+    models = PipelineModels(
+        s1_model, s1_vars, s2_model, s2_vars, r_model, r_vars, a_model, a_vars
+    )
+    predict = make_v6_pipeline(
+        models, tta=True, tta_align_ab=True, norm_scale=1023.0
+    )
+    samples = np.random.default_rng(11).integers(
+        0, 1024, size=(16, 8, 8, 1), dtype=np.uint16
+    )
+    out = predict(jnp.asarray(samples))
+
+    from av1tpu.train.augment import align_tta_ab_logits, tta_views
+
+    x = jnp.asarray(samples.astype(np.float32) / 1023.0)
+    views = tta_views(x)
+    ab_view_logits = jax.vmap(lambda v: a_model.apply(a_vars, v))(views)
+    ab_logits = np.asarray(
+        jnp.mean(align_tta_ab_logits(ab_view_logits), axis=0)
+    )
+    # compare only clear-margin samples: the jitted pipeline fuses the
+    # gather+mean differently from this eager reference, so an exact
+    # logit tie can argmax either way
+    top2 = np.sort(ab_logits, axis=-1)[:, -2:]
+    clear = (top2[:, 1] - top2[:, 0]) > 1e-5
+    assert clear.sum() >= 8  # the margin filter must not mask everything
+    np.testing.assert_array_equal(
+        np.asarray(out["stage3_ab_pred"])[clear],
+        ab_logits.argmax(axis=-1)[clear],
+    )
+    # and the naive (unaligned) mean must disagree somewhere, or the
+    # option tested nothing on this stub
+    naive = np.asarray(jnp.mean(ab_view_logits, axis=0)).argmax(axis=-1)
+    assert (naive[clear] != ab_logits.argmax(axis=-1)[clear]).any()
     s2_logits = jnp.mean(
         jax.vmap(lambda v: s2_model.apply(s2_vars, v))(views), axis=0
     )
