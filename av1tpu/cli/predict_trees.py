@@ -167,15 +167,21 @@ def main(argv=None) -> None:
                         "(original/hflip/vflip/rot180) at every level — "
                         "~4x the compute for an accuracy bump; flax graph "
                         "only (incompatible with --folded)")
-    parser.add_argument("--tta-align-ab", action="store_true",
+    parser.add_argument("--tta-align-ab", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="with --tta: remap flipped views' AB logits "
-                        "through the training swap tables before averaging "
-                        "(the reference's TTA mixes the swapped pairs)")
+                        "through the training swap tables before averaging. "
+                        "DEFAULT ON with --tta: the naive mean (reference "
+                        "TTA semantics, --no-tta-align-ab) mixes the "
+                        "swapped pairs and measured 0.75 vs 0.85 node "
+                        "accuracy on the XL tree corpus "
+                        "(docs/results/tta_eval_r04.json)")
     args = parser.parse_args(argv)
     if args.tta and args.folded:
         parser.error("--tta is incompatible with --folded")
     if args.tta_align_ab and not args.tta:
         parser.error("--tta-align-ab requires --tta")
+    tta_align_ab = args.tta and args.tta_align_ab is not False
 
     if args.resolution:
         w, h = (int(v) for v in args.resolution.lower().split("x"))
@@ -200,7 +206,7 @@ def main(argv=None) -> None:
         size: build_level_predictor(
             getattr(args, f"models_{size}"), threshold, dtype,
             args.ab_fgvc, mesh=mesh, folded=args.folded,
-            tta=args.tta, tta_align_ab=args.tta_align_ab,
+            tta=args.tta, tta_align_ab=tta_align_ab,
         )
         for size, threshold in zip((64, 32, 16, 8), thresholds)
     }

@@ -74,6 +74,7 @@ def build_v6(args, dtype, mesh=None):
     models = PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
     if args.tta_align_ab and not args.tta:
         raise SystemExit("--tta-align-ab requires --tta")
+    tta_align_ab = args.tta and args.tta_align_ab is not False
     if args.int8 or args.folded:
         if args.tta or ab_ensemble is not None:
             raise SystemExit(
@@ -122,7 +123,7 @@ def build_v6(args, dtype, mesh=None):
         )
     return make_v6_pipeline(
         models, stage1_threshold=args.stage1_threshold, input_dtype=dtype,
-        tta=args.tta, tta_align_ab=args.tta_align_ab,
+        tta=args.tta, tta_align_ab=tta_align_ab,
         ab_ensemble_vars=ab_ensemble, mesh=mesh,
     )
 
@@ -151,12 +152,15 @@ def main(argv=None) -> None:
                         "soft-vote the AB stage over its members")
     parser.add_argument("--tta", action="store_true",
                         help="average each stage over 4 TTA views")
-    parser.add_argument("--tta-align-ab", action="store_true",
+    parser.add_argument("--tta-align-ab", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="with --tta: remap each flipped view's AB "
                         "logits through the training swap tables before "
                         "averaging (pools HORZ_A/B and VERT_A/B evidence "
-                        "instead of mixing it; the reference's TTA omits "
-                        "this)")
+                        "instead of mixing it). DEFAULT ON with --tta; "
+                        "--no-tta-align-ab restores the reference's naive "
+                        "mean, measured 10pp worse on the XL tree corpus "
+                        "(docs/results/tta_eval_r04.json)")
     parser.add_argument("--capacity", type=str, default=None,
                         help="v6 only: fixed-capacity gated inference — run "
                         "stages 2/3 on only this fraction of the batch "

@@ -62,7 +62,9 @@ def main() -> None:
 
     flags = {
         "none": [],
-        "tta": ["--tta"],
+        # naive = the reference's TTA mean (alignment defaults ON since
+        # this script first measured the 10pp gap, so opt out explicitly)
+        "tta": ["--tta", "--no-tta-align-ab"],
         "tta_aligned": ["--tta", "--tta-align-ab"],
     }
     out = {"clip": yuv.name, "frames": n_frames,

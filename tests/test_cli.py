@@ -394,6 +394,40 @@ def test_predict_trees_threshold_normalization():
             normalize_thresholds(bad)
 
 
+def test_predict_trees_tta_flag_wiring(monkeypatch):
+    """--tta implies swap-aligned AB averaging (measured 10pp better than
+    the naive mean, docs/results/tta_eval_r04.json); --no-tta-align-ab
+    restores reference-parity naive TTA; --tta-align-ab alone is
+    rejected."""
+    from av1tpu.cli import predict_trees
+
+    seen = {}
+
+    def fake_build(model_dir, threshold, dtype, ab_fgvc, mesh=None,
+                   folded=False, tta=False, tta_align_ab=False):
+        seen["tta"], seen["align"] = tta, tta_align_ab
+        raise RuntimeError("stop-test")
+
+    monkeypatch.setattr(predict_trees, "build_level_predictor", fake_build)
+    base = [
+        "--yuv", "clip_128x64_30.yuv", "--output-dir", "out",
+        "--models-64", "m", "--models-32", "m",
+        "--models-16", "m", "--models-8", "m", "--single-device",
+    ]
+    for extra, want in (
+        (["--tta"], (True, True)),
+        (["--tta", "--no-tta-align-ab"], (True, False)),
+        ([], (False, False)),
+    ):
+        with pytest.raises(RuntimeError, match="stop-test"):
+            predict_trees.main(base + extra)
+        assert (seen["tta"], seen["align"]) == want, extra
+    with pytest.raises(SystemExit):
+        predict_trees.main(base + ["--tta-align-ab"])
+    with pytest.raises(SystemExit):
+        predict_trees.main(base + ["--tta", "--folded"])
+
+
 def test_predict_trees_split_group_result():
     """Frame split of a stacked (--frames-per-batch) result: per-superblock
     arrays slice to the frame's rows; gate-overflow counters rename to
