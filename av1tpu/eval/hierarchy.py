@@ -46,6 +46,19 @@ import numpy as np
 from av1tpu.codec.partitions import flatten_to_raw
 from av1tpu.data.records import NORM_10BIT
 
+# Serializes SUBMISSION of multi-device work (sharded device_put from the
+# prefetch producer vs jit dispatch from the consumer). Execution stays
+# async, so TPU transfer/compute overlap is preserved — but on XLA:CPU,
+# where each virtual device runs its queue on its own thread, two threads
+# enqueueing multi-device programs concurrently can order them differently
+# per device and deadlock the cross-device rendezvous (observed: the slow
+# predict_trees CLI test hanging at 0% CPU in the output concatenate,
+# every participant thread asleep). One lock over every enqueue gives all
+# device queues a consistent program order, which cannot deadlock.
+from threading import Lock as _Lock
+
+_DEVICE_SUBMIT_LOCK = _Lock()
+
 
 @dataclass
 class PipelineModels:
@@ -468,10 +481,11 @@ def run_pipeline_batched(
         if valid < batch_size:
             pad = xp.repeat(chunk[:1], batch_size - valid, axis=0)
             chunk = xp.concatenate([chunk, pad], axis=0)
-        if not on_device:
-            chunk = jnp.asarray(chunk)
-        if sharding is not None:
-            chunk = jax.device_put(chunk, sharding)
+        with _DEVICE_SUBMIT_LOCK:
+            if not on_device:
+                chunk = jnp.asarray(chunk)
+            if sharding is not None:
+                chunk = jax.device_put(chunk, sharding)
         return chunk, valid
 
     starts = list(range(0, n, batch_size))
@@ -519,11 +533,34 @@ def run_pipeline_batched(
 
         chunks = drain()
 
+    replicated = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+
     outputs: Dict[str, List] = {}
     for chunk, valid in chunks:
-        result = (
-            predict_fn(chunk, valid) if accepts_valid else predict_fn(chunk)
-        )
+        with _DEVICE_SUBMIT_LOCK:
+            result = (
+                predict_fn(chunk, valid)
+                if accepts_valid
+                else predict_fn(chunk)
+            )
+            if replicated is not None:
+                # Outputs are per-sample scalars (KBs) — replicate them
+                # across the mesh as they are produced so every downstream
+                # eager op (the concat below, tree assembly in callers) is
+                # communication-free. Eager ops on batch-SHARDED arrays
+                # compile hidden re-layout collectives (e.g. reshape along
+                # the sharded dim), which XLA:CPU's per-virtual-device
+                # rendezvous deadlocks on nondeterministically (observed:
+                # slow-lane predict_trees hung at 0% CPU in concatenate /
+                # repeat with every thread asleep).
+                result = {
+                    k: jax.device_put(v, replicated)
+                    for k, v in result.items()
+                }
         # Keep chunk outputs on device: converting per chunk would force a
         # blocking sync per call and serialize the dispatch pipeline.
         for key, value in result.items():
