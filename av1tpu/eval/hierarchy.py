@@ -46,15 +46,21 @@ import numpy as np
 from av1tpu.codec.partitions import flatten_to_raw
 from av1tpu.data.records import NORM_10BIT
 
-# Serializes SUBMISSION of multi-device work (sharded device_put from the
+# Serializes SUBMISSION of MULTI-DEVICE work (sharded device_put from the
 # prefetch producer vs jit dispatch from the consumer). Execution stays
-# async, so TPU transfer/compute overlap is preserved — but on XLA:CPU,
-# where each virtual device runs its queue on its own thread, two threads
+# async, so transfer/compute overlap is preserved — but on XLA:CPU, where
+# each virtual device runs its queue on its own thread, two threads
 # enqueueing multi-device programs concurrently can order them differently
 # per device and deadlock the cross-device rendezvous (observed: the slow
 # predict_trees CLI test hanging at 0% CPU in the output concatenate,
 # every participant thread asleep). One lock over every enqueue gives all
 # device queues a consistent program order, which cannot deadlock.
+# Single-device work (mesh=None — e.g. the one-chip serving CLIs) never
+# rendezvouses, and on a tethered chip device_put blocks for the whole
+# host->device transfer, so locking there would serialize exactly the
+# transfer/dispatch overlap the prefetch producer exists to create — the
+# lock is taken ONLY on the sharded path.
+from contextlib import nullcontext as _nullcontext
 from threading import Lock as _Lock
 
 _DEVICE_SUBMIT_LOCK = _Lock()
@@ -474,6 +480,9 @@ def run_pipeline_batched(
     # pipeline) receive each chunk's real row count so tail padding can't
     # influence sample selection.
     accepts_valid = getattr(predict_fn, "accepts_valid", False)
+    submit_guard = (
+        _DEVICE_SUBMIT_LOCK if sharding is not None else _nullcontext()
+    )
 
     def prepare(start):
         chunk = samples[start : start + batch_size]
@@ -481,7 +490,7 @@ def run_pipeline_batched(
         if valid < batch_size:
             pad = xp.repeat(chunk[:1], batch_size - valid, axis=0)
             chunk = xp.concatenate([chunk, pad], axis=0)
-        with _DEVICE_SUBMIT_LOCK:
+        with submit_guard:
             if not on_device:
                 chunk = jnp.asarray(chunk)
             if sharding is not None:
@@ -541,7 +550,7 @@ def run_pipeline_batched(
 
     outputs: Dict[str, List] = {}
     for chunk, valid in chunks:
-        with _DEVICE_SUBMIT_LOCK:
+        with submit_guard:
             result = (
                 predict_fn(chunk, valid)
                 if accepts_valid
