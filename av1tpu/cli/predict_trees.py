@@ -49,7 +49,31 @@ CKPT_NAMES = {
 def build_level_predictor(
     model_dir: Path, threshold: float, dtype, ab_fgvc: bool, mesh=None,
     folded: bool = False, tta: bool = False, tta_align_ab: bool = False,
+    unified: bool = False,
 ):
+    if unified:
+        # single-backbone family (models.UnifiedV6Model): one checkpoint
+        # per level serves the whole hierarchy — same output contract,
+        # ~1/4 the backbone FLOPs of the per-stage cascade
+        from av1tpu.eval import (
+            make_unified_pipeline,
+            make_unified_pipeline_folded,
+        )
+        from av1tpu.models import UnifiedV6Model
+
+        variables = load_model_variables(
+            model_dir / "unified_best_variables.npz"
+        )
+        if folded:
+            return make_unified_pipeline_folded(
+                variables, stage1_threshold=threshold, float_dtype=dtype,
+                mesh=mesh,
+            )
+        return make_unified_pipeline(
+            UnifiedV6Model(dtype=dtype), variables,
+            stage1_threshold=threshold, input_dtype=dtype, mesh=mesh,
+            tta=tta, tta_align_ab=tta_align_ab,
+        )
     loaded = {}
     for key, (cls, fname) in CKPT_NAMES.items():
         variables = load_model_variables(model_dir / fname)
@@ -156,6 +180,14 @@ def main(argv=None) -> None:
                         help="disable IO/compute overlap (read -> compute "
                         "-> sync per frame, the pre-round-4 behavior); "
                         "exists to measure the overlap gain A/B")
+    parser.add_argument("--unified", action="store_true",
+                        help="serve each level from a single-backbone "
+                        "UnifiedV6Model checkpoint "
+                        "(unified_best_variables.npz in each --models-* "
+                        "dir, from cli.train_unified) instead of the four "
+                        "per-stage checkpoints — ~1/4 the backbone FLOPs "
+                        "per block; composes with --folded/--tta/"
+                        "--level-capacity")
     parser.add_argument("--folded", action="store_true",
                         help="serve each level through the BN-folded graph "
                         "(eval.folded, the bench-headline formulation — "
@@ -206,7 +238,7 @@ def main(argv=None) -> None:
         size: build_level_predictor(
             getattr(args, f"models_{size}"), threshold, dtype,
             args.ab_fgvc, mesh=mesh, folded=args.folded,
-            tta=args.tta, tta_align_ab=tta_align_ab,
+            tta=args.tta, tta_align_ab=tta_align_ab, unified=args.unified,
         )
         for size, threshold in zip((64, 32, 16, 8), thresholds)
     }

@@ -128,9 +128,32 @@ def build_v6(args, dtype, mesh=None):
     )
 
 
+def build_unified(args, dtype, mesh=None):
+    from av1tpu.eval import make_unified_pipeline, make_unified_pipeline_folded
+    from av1tpu.models import UnifiedV6Model
+
+    variables = load_model_variables(args.unified_checkpoint)
+    if args.tta_align_ab and not args.tta:
+        raise SystemExit("--tta-align-ab requires --tta")
+    if args.folded:
+        if args.tta:
+            raise SystemExit("--folded is incompatible with --tta")
+        return make_unified_pipeline_folded(
+            variables, stage1_threshold=args.stage1_threshold,
+            float_dtype=dtype, mesh=mesh,
+        )
+    return make_unified_pipeline(
+        UnifiedV6Model(dtype=dtype), variables,
+        stage1_threshold=args.stage1_threshold, input_dtype=dtype,
+        tta=args.tta, tta_align_ab=args.tta_align_ab is not False,
+        mesh=mesh,
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--variant", choices=("v5", "v6", "flatten"), default="v6")
+    parser.add_argument("--variant", choices=("v5", "v6", "flatten", "unified"),
+                        default="v6")
     parser.add_argument("--dataset-dir", type=Path, required=True)
     parser.add_argument("--block-size", type=int, default=16)
     parser.add_argument("--split", choices=("train", "val"), default="val")
@@ -194,6 +217,12 @@ def main(argv=None) -> None:
                         "exact number matching against its published metrics")
     # flatten
     parser.add_argument("--flatten-checkpoint", type=Path)
+    # unified (single shared backbone, all four heads — eval.unified)
+    parser.add_argument("--unified-checkpoint", type=Path,
+                        help="UnifiedV6Model variables npz from "
+                        "cli.train_unified; serves the whole hierarchy "
+                        "from ONE backbone forward (--folded and --tta "
+                        "supported)")
     # v5
     parser.add_argument("--v5-checkpoint", type=Path,
                         help="merged multi-head model variables npz")
@@ -203,13 +232,19 @@ def main(argv=None) -> None:
                         help="disable the default all-local-devices mesh")
     args = parser.parse_args(argv)
 
-    if args.variant != "v6":
-        # these serving paths are only built by build_v6; silently ignoring
-        # them would report plain-flax numbers under an int8/folded-looking
-        # invocation (advisor finding, round 2)
+    if args.variant not in ("v6", "unified"):
+        # these serving paths are only built by build_v6/build_unified;
+        # silently ignoring them would report plain-flax numbers under an
+        # int8/folded-looking invocation (advisor finding, round 2)
         for flag in ("int8", "folded"):
             if getattr(args, flag):
-                parser.error(f"--{flag} is only supported with --variant v6")
+                parser.error(f"--{flag} is only supported with --variant "
+                             "v6/unified")
+        if args.capacity is not None:
+            parser.error("--capacity is only supported with --variant v6")
+    if args.variant == "unified":
+        if args.int8:
+            parser.error("--int8 is not supported with --variant unified")
         if args.capacity is not None:
             parser.error("--capacity is only supported with --variant v6")
 
@@ -271,6 +306,12 @@ def main(argv=None) -> None:
         predict = build_v6(args, dtype, mesh=mesh)
         class_names = list(V6_EVAL_CLASS_NAMES)
         label_space = 8
+    elif args.variant == "unified":
+        if args.unified_checkpoint is None:
+            parser.error("--unified-checkpoint required for unified")
+        predict = build_unified(args, dtype, mesh=mesh)
+        class_names = list(V6_EVAL_CLASS_NAMES)
+        label_space = 8
     elif args.variant == "flatten":
         s1_vars = load_model_variables(args.stage1_checkpoint)
         flat_vars = load_model_variables(args.flatten_checkpoint)
@@ -302,7 +343,7 @@ def main(argv=None) -> None:
     throughput = len(bundle) / seconds
 
     raw_labels = bundle.labels["stage0"]
-    if args.variant == "v6" and not args.reference_compat_labels:
+    if args.variant in ("v6", "unified") and not args.reference_compat_labels:
         from av1tpu.codec.partitions import raw_to_v6_final
 
         labels = raw_to_v6_final(raw_labels)  # -1 for 1TO4: excluded
@@ -329,7 +370,7 @@ def main(argv=None) -> None:
         "metrics": metrics,
         "stage1": stage1_metrics,
     }
-    if args.variant == "v6":
+    if args.variant in ("v6", "unified"):
         from av1tpu.eval.cascade import decompose_v6
 
         payload["cascade"] = decompose_v6(out, bundle.labels["stage0"])

@@ -34,6 +34,10 @@ from av1tpu.eval.tree_infer import (  # noqa: F401
 )
 from av1tpu.eval.gated import make_v6_pipeline_gated  # noqa: F401
 from av1tpu.eval.folded import make_v6_pipeline_folded  # noqa: F401
+from av1tpu.eval.unified import (  # noqa: F401
+    make_unified_pipeline,
+    make_unified_pipeline_folded,
+)
 from av1tpu.eval.cascade import decompose_v6  # noqa: F401
 from av1tpu.eval.report import (  # noqa: F401
     write_metrics_json,

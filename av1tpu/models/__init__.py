@@ -24,6 +24,10 @@ from av1tpu.models.v6 import (  # noqa: F401
     Stage2ModelWithAdapters,
     Stage3ABModel,
     Stage3RectModel,
+    UNIFIED_LOGIT_DIM,
+    UNIFIED_LOGIT_SLICES,
+    UnifiedV6Model,
+    split_unified_logits,
 )
 from av1tpu.models.fgvc import (  # noqa: F401
     CosineClassifier,

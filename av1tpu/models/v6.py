@@ -205,6 +205,87 @@ class Stage2ModelWithAdapters(nn.Module):
         )(feats, train=train)
 
 
+class UnifiedV6Model(nn.Module):
+    """ONE shared ``ImprovedBackbone`` + all four v6 stage heads.
+
+    Beyond-reference serving family (no reference counterpart): the fused
+    v6 pipeline evaluates every stage DENSE on the full batch
+    (``eval.hierarchy``), so its cost is four backbone forwards per block —
+    and the measured graph is HBM-bound, so throughput is ~1/4 of a single
+    backbone's. This model collapses the four backbones into one shared
+    trunk with the per-stage MLP heads attached (the v5 architecture
+    pattern — ``models_hier.py:158-206`` — applied to the v6 ResNet-18
+    backbone), cutting serving FLOPs and HBM traffic ~4x at an accuracy
+    trade that :mod:`av1tpu.train.unified` trains (multi-task masked
+    losses) and measures against the per-stage cascade; optional
+    logit-level distillation from the four trained stage models closes
+    the gap where routing supervision is sparse.
+
+    Head shapes mirror the per-stage models exactly (stage1 256->1 with
+    the learnable temperature, stage2 256/128->3, rect 128/64->2, AB
+    256/128->4). Output: a single ``(N, 10)`` array of concatenated
+    logits ``[s1(1) | s2(3) | rect(2) | ab(4)]`` — one array keeps the
+    trainer/eval plumbing shape-static; slice with
+    :func:`split_unified_logits`.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool = False, apply_temp: bool = False,
+        from_features: bool = False,
+    ):
+        feats = (
+            x if from_features
+            else ImprovedBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        )
+        s1 = MLPHead(
+            hidden=(256,), num_outputs=1, dropout=(0.3,), dtype=self.dtype,
+            name="head_stage1",
+        )(feats, train=train)
+        s2 = MLPHead(
+            hidden=(256, 128), num_outputs=3, dropout=(0.4, 0.4),
+            dtype=self.dtype, name="head_stage2",
+        )(feats, train=train)
+        rect = MLPHead(
+            hidden=(128, 64), num_outputs=2, dropout=(0.2, 0.2),
+            dtype=self.dtype, name="head_rect",
+        )(feats, train=train)
+        ab = MLPHead(
+            hidden=(256, 128), num_outputs=4, dropout=(0.5, 0.5),
+            dtype=self.dtype, name="head_ab",
+        )(feats, train=train)
+        temperature = self.param(
+            "temperature", lambda key: jnp.full((1,), 1.5, dtype=jnp.float32)
+        )
+        if apply_temp:
+            s1 = s1 / temperature.astype(s1.dtype)
+        return jnp.concatenate([s1, s2, rect, ab], axis=-1)
+
+
+# Column layout of the UnifiedV6Model output (and of packed teacher logits
+# in train.unified): [s1 | s2 s2 s2 | rect rect | ab ab ab ab].
+UNIFIED_LOGIT_SLICES = {
+    "stage1": (0, 1),
+    "stage2": (1, 4),
+    "rect": (4, 6),
+    "ab": (6, 10),
+}
+UNIFIED_LOGIT_DIM = 10
+
+
+def split_unified_logits(logits):
+    """(..., 10) unified logits -> (s1(...,), s2(...,3), rect(...,2),
+    ab(...,4))."""
+    return (
+        logits[..., 0],
+        logits[..., 1:4],
+        logits[..., 4:6],
+        logits[..., 6:10],
+    )
+
+
 class Stage2FlatModel(nn.Module):
     """Flatten architecture: backbone + 7-way head, replacing the stage-2/3
     cascade (parity: ``004b_train_stage2_flat_7classes.py:153-183``)."""
@@ -233,4 +314,8 @@ __all__ = [
     "Stage2ModelWithAdapters",
     "Stage3ABModel",
     "Stage3RectModel",
+    "UNIFIED_LOGIT_DIM",
+    "UNIFIED_LOGIT_SLICES",
+    "UnifiedV6Model",
+    "split_unified_logits",
 ]

@@ -125,9 +125,13 @@ def fold_backbone(variables: Mapping) -> Dict:
     return folded
 
 
-def fold_head(variables: Mapping) -> List[Dict]:
-    """Extract the MLPHead dense stack as an ordered kernel+bias list."""
-    hp = variables["params"]["head"]
+def fold_head(variables: Mapping, name: str = "head") -> List[Dict]:
+    """Extract an MLPHead dense stack as an ordered kernel+bias list.
+
+    ``name`` selects the head submodule — the per-stage models use
+    ``head``; the unified model carries four (``head_stage1`` etc.).
+    """
+    hp = variables["params"][name]
     names = sorted(hp.keys(), key=lambda s: int(s.split("_")[-1]))
     return [{"kernel": hp[n]["kernel"], "bias": hp[n]["bias"]} for n in names]
 

@@ -138,6 +138,11 @@ class StageRecipe:
     # Whole-batch mixing augmentation (Mixup/CutMix): (key, images) ->
     # (mixed, perm, lam); see StepConfig.batch_mix.
     batch_mix: Optional[Callable] = None
+    # Multi-task hooks (see StepConfig): custom prediction rule over the
+    # model outputs, and confusion-labels derivation from a packed label
+    # array (the unified model's composed 8-class final space).
+    predictions_fn: Optional[Callable] = None
+    metric_labels_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -280,6 +285,8 @@ def train_stage(
         logits_fn=recipe.logits_fn,
         use_qp=recipe.use_qp,
         batch_mix=recipe.batch_mix,
+        predictions_fn=recipe.predictions_fn,
+        metric_labels_fn=recipe.metric_labels_fn,
     )
     if resident:
         eval_epoch_fn = make_eval_epoch_fn(model, cfg)

@@ -81,12 +81,28 @@ class StepConfig:
     # family (reference MixupLoss, v6 losses.py:96-122). Train-only; eval
     # and confusion metrics use the unmixed labels.
     batch_mix: Optional[Callable] = None
+    # Multi-task hooks (the unified model trains several heads against a
+    # single packed label array): ``predictions_fn(outputs) -> (N,) int``
+    # replaces the default sigmoid/argmax prediction rule, and
+    # ``metric_labels_fn(labels) -> (N,) int`` derives the confusion-matrix
+    # labels from the packed array (rows mapping to < 0 are ignored, same
+    # contract as plain -1 padding).
+    predictions_fn: Optional[Callable] = None
+    metric_labels_fn: Optional[Callable] = None
 
     def predictions(self, outputs):
+        if self.predictions_fn is not None:
+            return self.predictions_fn(outputs)
         logits = self.logits_fn(outputs) if self.logits_fn else outputs
         if self.binary:
             return (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.int32)
         return jnp.argmax(logits, axis=-1)
+
+    def metric_labels(self, labels):
+        return (
+            self.metric_labels_fn(labels)
+            if self.metric_labels_fn is not None else labels
+        )
 
 
 def confusion_matrix(labels, preds, num_classes: int):
@@ -144,7 +160,7 @@ def make_train_step(model, optimizer, cfg: StepConfig, jit: bool = True):
         else:
             loss = cfg.loss_fn(outputs, labels)
         preds = cfg.predictions(outputs)
-        conf = confusion_matrix(labels, preds, cfg.num_classes)
+        conf = confusion_matrix(cfg.metric_labels(labels), preds, cfg.num_classes)
         return loss, (mutated["batch_stats"], conf)
 
     def train_step(state: TrainState, batch, rng):
@@ -321,7 +337,9 @@ def make_eval_epoch_fn(model, cfg: StepConfig):
         )
         loss = cfg.loss_fn(outputs, labels)
         preds = cfg.predictions(outputs)
-        return loss, confusion_matrix(labels, preds, cfg.num_classes)
+        return loss, confusion_matrix(
+            cfg.metric_labels(labels), preds, cfg.num_classes
+        )
 
     return scan_eval_fn(eval_body, cfg.num_classes)
 
@@ -416,7 +434,9 @@ def make_eval_step(model, cfg: StepConfig):
         )
         loss = cfg.loss_fn(outputs, labels)
         preds = cfg.predictions(outputs)
-        conf = confusion_matrix(labels, preds, cfg.num_classes)
+        conf = confusion_matrix(
+            cfg.metric_labels(labels), preds, cfg.num_classes
+        )
         logits = cfg.logits_fn(outputs) if cfg.logits_fn else outputs
         return {"loss": loss, "confusion": conf, "logits": logits}
 

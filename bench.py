@@ -226,6 +226,35 @@ def bench_tpu() -> dict:
         "vs_folded_headline": round(thr_int8 / headline, 3),
     }
 
+    _progress("unified single-backbone pipeline (16px, folded)")
+    # beyond-reference serving family (models.UnifiedV6Model + eval.unified):
+    # ONE shared trunk + four heads instead of four backbones, ~4x fewer
+    # FLOPs per block at an accuracy trade train_unified measures. Random
+    # init — cost depends only on shapes. Two batches: with 1/4 the
+    # per-sample work the dispatch/batch tradeoff shifts up like 8px did.
+    from av1tpu.eval import make_unified_pipeline_folded
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.utils.initialization import init_on_cpu
+
+    uni_vars = init_on_cpu(
+        UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
+        jnp.zeros((2, 16, 16, 1), jnp.float32),
+    )
+    predict_uni = make_unified_pipeline_folded(
+        uni_vars, stage1_threshold=0.45, float_dtype=dtype
+    )
+    best = None
+    for batch in (BATCH, 4 * BATCH):
+        thr_u, fps_u, mfu_u = _time_predict(predict_uni, batch, 16, iters=20)
+        if best is None or thr_u > best[0]:
+            best = (thr_u, mfu_u, batch)
+    results["unified"] = {
+        "throughput": round(best[0], 1),
+        "mfu": round(best[1], 4) if best[1] else None,
+        "batch": best[2],
+        "vs_folded_headline": round(best[0] / headline, 2),
+    }
+
     _progress("device sections done")
     return results
 
@@ -582,6 +611,7 @@ def main() -> None:
                 ),
                 "per_block_px": results["per_block_px"],
                 "int8": results["int8"],
+                "unified": results["unified"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
                 "flax_graph": results["flax_graph"],
                 "tree_cascade": results["tree_cascade"],

@@ -147,3 +147,25 @@ def test_tree_cascade_gated_section(bench_models):
     # the default capacities must actually cut work vs dense (85/tree)
     assert result["evaluated_nodes_per_tree"] < sum(NODES_PER_LEVEL)
     assert result["superblocks_per_dispatch"] == N_SUPERBLOCKS
+
+
+@slow
+def test_unified_section_runs():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from av1tpu.eval import make_unified_pipeline_folded
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.utils.initialization import init_on_cpu
+
+    dtype = jnp.bfloat16
+    uni_vars = init_on_cpu(
+        UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
+        jnp.zeros((2, 16, 16, 1), jnp.float32),
+    )
+    predict = make_unified_pipeline_folded(
+        uni_vars, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
+    assert thr > 0

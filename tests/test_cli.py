@@ -610,3 +610,112 @@ def test_ab_ensemble_train_and_eval(workspace, v6_dataset, stage1_ckpt, tmp_path
         (runs / "pipe" / "pipeline_metrics_val.json").read_text()
     )
     assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+
+
+def test_unified_eval_cli_fast(workspace, v6_dataset, tmp_path):
+    """--variant unified serves the whole hierarchy from one random-init
+    UnifiedV6Model checkpoint, flax and folded, with the full artifact
+    set and the cascade decomposition in the metrics payload."""
+    import jax
+    import jax.numpy as jnp
+
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.train.checkpoint import save_variables_npz
+    from av1tpu.utils.initialization import init_on_cpu
+
+    v = init_on_cpu(
+        UnifiedV6Model(), jax.random.PRNGKey(5), jnp.zeros((2, 16, 16, 1))
+    )
+    ckpt = tmp_path / "unified_variables.npz"
+    save_variables_npz(
+        ckpt, {"params": v["params"], "batch_stats": v["batch_stats"]}
+    )
+    finals = {}
+    for name, extra in (("flax", []), ("folded", ["--folded"])):
+        out = tmp_path / name
+        run_pipeline_eval.main([
+            "--variant", "unified",
+            "--dataset-dir", str(v6_dataset), "--block-size", "16",
+            "--output-dir", str(out),
+            "--batch-size", "32", "--single-device",
+            "--unified-checkpoint", str(ckpt),
+        ] + extra)
+        metrics = json.loads((out / "pipeline_metrics_val.json").read_text())
+        assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+        assert metrics["throughput_superblocks_per_sec"] > 0
+        assert "cascade" in metrics
+        finals[name] = np.load(
+            out / "pipeline_predictions_val.npz"
+        )["predictions"]
+    # the folded unified graph agrees with the flax one (float32 both)
+    assert (finals["flax"] == finals["folded"]).mean() >= 0.95
+
+    # int8 is explicitly rejected for the unified variant
+    with pytest.raises(SystemExit):
+        run_pipeline_eval.main([
+            "--variant", "unified",
+            "--dataset-dir", str(v6_dataset), "--block-size", "16",
+            "--output-dir", str(tmp_path / "bad"),
+            "--unified-checkpoint", str(ckpt), "--int8",
+        ])
+
+
+@slow
+def test_unified_cli_chain(workspace, v6_dataset, random_ckpts, tmp_path):
+    """train_unified end to end (plain + distilled from the per-stage
+    checkpoints), then the trained checkpoint through run_pipeline_eval
+    --variant unified and predict_trees --unified."""
+    from av1tpu.cli import predict_trees, train_unified
+
+    out = tmp_path / "unified"
+    train_unified.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(out), "--epochs", "1", "--batch-size", "16",
+    ])
+    ckpt = out / "unified_best_variables.npz"
+    assert ckpt.exists()
+    history = json.loads((out / "unified_history.json").read_text())
+    assert np.isfinite(history[-1]["val_loss"])
+
+    # distillation from the four (random-init) per-stage teachers runs
+    # the dense teacher forwards and the KD loss end to end
+    paths = random_ckpts
+    out_kd = tmp_path / "unified_kd"
+    train_unified.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(out_kd), "--epochs", "1", "--batch-size", "16",
+        "--distill-weight", "0.5", "--no-ab-fgvc",
+        "--stage1-checkpoint", str(paths["stage1"]),
+        "--stage2-checkpoint", str(paths["stage2"]),
+        "--stage3-rect-checkpoint", str(paths["rect"]),
+        "--stage3-ab-checkpoint", str(paths["ab"]),
+    ])
+    assert (out_kd / "unified_best_variables.npz").exists()
+
+    eval_out = tmp_path / "eval"
+    run_pipeline_eval.main([
+        "--variant", "unified",
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--output-dir", str(eval_out),
+        "--batch-size", "32", "--single-device",
+        "--unified-checkpoint", str(ckpt),
+    ])
+    metrics = json.loads((eval_out / "pipeline_metrics_val.json").read_text())
+    assert 0.0 <= metrics["metrics"]["accuracy"] <= 1.0
+
+    # whole-frame trees from the single-backbone checkpoint
+    rng = np.random.default_rng(0)
+    yuv = tmp_path / "clip_128x64_30.yuv"
+    with open(yuv, "wb") as f:
+        plane = rng.integers(0, 1024, (64, 128), dtype=np.uint16)
+        f.write(plane.astype("<u2").tobytes())
+        f.write(np.zeros((32, 64), dtype="<u2").tobytes() * 2)
+    trees_out = tmp_path / "trees"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0",
+        "--models-64", str(out), "--models-32", str(out),
+        "--models-16", str(out), "--models-8", str(out),
+        "--output-dir", str(trees_out), "--batch-size", "64",
+        "--unified", "--folded",
+    ])
+    assert np.load(trees_out / "trees_frame0.npz")["trees"].shape == (2, 85)
