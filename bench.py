@@ -255,11 +255,24 @@ def bench_tpu() -> dict:
         "vs_folded_headline": round(best[0] / headline, 2),
     }
 
+    _progress("unified tree cascade (single-backbone levels)")
+    # same composed 4-level graph as tree_cascade, every level served by
+    # the folded unified predictor — where the 4x backbone cut compounds
+    results["tree_cascade_unified"] = bench_tree_cascade(
+        models, dtype, predict=predict_uni
+    )
+    results["tree_cascade_unified"]["vs_cascade"] = round(
+        results["tree_cascade_unified"]["trees_per_sec"]
+        / results["tree_cascade"]["trees_per_sec"], 2,
+    )
+
     _progress("device sections done")
     return results
 
 
-def bench_tree_cascade(models, dtype, n_superblocks: int = 512, iters: int = 20):
+def bench_tree_cascade(
+    models, dtype, n_superblocks: int = 512, iters: int = 20, predict=None,
+):
     """The north-star composition graph: 64x64 superblocks resident in
     HBM -> on-device quad tiling -> the BN-folded v6 pipeline at every
     level of the 64->32->16->8 hierarchy -> masked 85-slot tree assembly
@@ -281,9 +294,10 @@ def bench_tree_cascade(models, dtype, n_superblocks: int = 512, iters: int = 20)
     from av1tpu.eval import make_v6_pipeline_folded
     from av1tpu.eval.tree_infer import quad_tile_on_device
 
-    predict = make_v6_pipeline_folded(
-        models, stage1_threshold=0.45, float_dtype=dtype
-    )
+    if predict is None:
+        predict = make_v6_pipeline_folded(
+            models, stage1_threshold=0.45, float_dtype=dtype
+        )
     remap = jnp.asarray(V6_FINAL_TO_RAW)
 
     def make_level(size, nodes):
@@ -616,6 +630,7 @@ def main() -> None:
                 "flax_graph": results["flax_graph"],
                 "tree_cascade": results["tree_cascade"],
                 "tree_cascade_gated": results["tree_cascade_gated"],
+                "tree_cascade_unified": results["tree_cascade_unified"],
             }
         )
     except BaseException as exc:  # emit the line no matter what

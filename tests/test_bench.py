@@ -169,3 +169,27 @@ def test_unified_section_runs():
     )
     thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
     assert thr > 0
+
+
+@slow
+def test_unified_tree_cascade_section(bench_models):
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from av1tpu.eval import make_unified_pipeline_folded
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.utils.initialization import init_on_cpu
+
+    models, dtype = bench_models
+    uni_vars = init_on_cpu(
+        UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
+        jnp.zeros((2, 16, 16, 1), jnp.float32),
+    )
+    predict = make_unified_pipeline_folded(
+        uni_vars, stage1_threshold=0.45, float_dtype=dtype
+    )
+    result = bench.bench_tree_cascade(
+        models, dtype, n_superblocks=N_SUPERBLOCKS, iters=2, predict=predict
+    )
+    assert result["trees_per_sec"] > 0
