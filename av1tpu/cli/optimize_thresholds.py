@@ -38,21 +38,45 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset-dir", type=Path, required=True)
     parser.add_argument("--block-size", type=int, default=16)
-    parser.add_argument("--stage1-checkpoint", type=Path, required=True)
+    parser.add_argument("--stage1-checkpoint", type=Path)
+    parser.add_argument("--unified-checkpoint", type=Path,
+                        help="calibrate a UnifiedV6Model checkpoint's "
+                        "stage-1 head instead (cli.train_unified output); "
+                        "writes unified_calibrated_variables.npz")
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--batch-size", type=int, default=4096)
     parser.add_argument("--grid", type=float, nargs=3, default=(0.40, 0.70, 0.05),
                         metavar=("START", "STOP", "STEP"))
     parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args(argv)
+    if (args.stage1_checkpoint is None) == (args.unified_checkpoint is None):
+        parser.error(
+            "exactly one of --stage1-checkpoint / --unified-checkpoint"
+        )
 
     _, val_b, _ = load_split(args.dataset_dir, args.block_size)
-    variables = load_model_variables(args.stage1_checkpoint)
-    model = Stage1Model(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.unified_checkpoint is not None:
+        from av1tpu.models import UnifiedV6Model
 
-    @jax.jit
-    def logits_fn(x):
-        return model.apply(variables, x, train=False).astype(jnp.float32)
+        variables = load_model_variables(args.unified_checkpoint)
+        model = UnifiedV6Model(dtype=dtype)
+        ckpt_name = "unified_calibrated_variables.npz"
+
+        @jax.jit
+        def logits_fn(x):
+            # stage-1 column of the packed unified logits
+            return model.apply(variables, x, train=False)[:, 0].astype(
+                jnp.float32
+            )
+    else:
+        variables = load_model_variables(args.stage1_checkpoint)
+        model = Stage1Model(dtype=dtype)
+        ckpt_name = "stage1_calibrated_variables.npz"
+
+        @jax.jit
+        def logits_fn(x):
+            return model.apply(variables, x, train=False).astype(jnp.float32)
 
     n = len(val_b)
     logits = np.zeros(n, dtype=np.float32)
@@ -102,7 +126,7 @@ def main(argv=None) -> None:
     calibrated = {k: v for k, v in variables.items()}
     calibrated["params"] = dict(calibrated["params"])
     calibrated["params"]["temperature"] = np.asarray([temperature], np.float32)
-    save_variables_npz(out / "stage1_calibrated_variables.npz", calibrated)
+    save_variables_npz(out / ckpt_name, calibrated)
 
     print(json.dumps(summary["f1"], indent=2))
     print(f"best-by-f1 threshold: {summary['f1']['threshold']:.2f}")

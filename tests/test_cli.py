@@ -659,6 +659,22 @@ def test_unified_eval_cli_fast(workspace, v6_dataset, tmp_path):
             "--unified-checkpoint", str(ckpt), "--int8",
         ])
 
+    # threshold + temperature calibration of the unified stage-1 head
+    calib = tmp_path / "calib"
+    optimize_thresholds.main([
+        "--dataset-dir", str(v6_dataset), "--block-size", "16",
+        "--unified-checkpoint", str(ckpt),
+        "--output-dir", str(calib), "--batch-size", "32",
+    ])
+    summary = json.loads((calib / "threshold_summary.json").read_text())
+    assert "f1" in summary and "temperature" in summary["calibration"]
+    assert (calib / "unified_calibrated_variables.npz").exists()
+    with pytest.raises(SystemExit):  # exactly one checkpoint source
+        optimize_thresholds.main([
+            "--dataset-dir", str(v6_dataset), "--block-size", "16",
+            "--output-dir", str(calib),
+        ])
+
 
 @slow
 def test_unified_cli_chain(workspace, v6_dataset, random_ckpts, tmp_path):
