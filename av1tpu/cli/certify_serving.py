@@ -95,6 +95,16 @@ def main(argv=None) -> None:
     parser.add_argument("--skip-int8", action="store_true")
     parser.add_argument("--calib-samples", type=int, default=512)
     parser.add_argument("--single-device", action="store_true")
+    parser.add_argument("--unified-checkpoint", type=Path, default=None,
+                        help="unified_best_variables.npz from "
+                        "cli.train_unified; adds certification rows for "
+                        "the single-backbone serving family (dense flax "
+                        "graph, then its BN-folded graph certified "
+                        "against it)")
+    parser.add_argument("--unified-threshold", type=float, default=None,
+                        help="stage-1 gate for the unified rows (its "
+                        "calibrated operating point usually differs from "
+                        "the cascade's; default: --stage1-threshold)")
     args = parser.parse_args(argv)
 
     from av1tpu.parallel.mesh import default_mesh
@@ -183,6 +193,45 @@ def main(argv=None) -> None:
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+    if args.unified_checkpoint is not None:
+        from av1tpu.eval import (
+            make_unified_pipeline,
+            make_unified_pipeline_folded,
+        )
+        from av1tpu.models import UnifiedV6Model
+
+        uni_vars = load_model_variables(args.unified_checkpoint)
+        uni_thr = (
+            args.unified_threshold if args.unified_threshold is not None
+            else args.stage1_threshold
+        )
+        uni_predict = make_unified_pipeline(
+            UnifiedV6Model(dtype=dtype), uni_vars, stage1_threshold=uni_thr,
+            input_dtype=dtype, mesh=mesh,
+        )
+        # agreement vs the CASCADE flax graph here measures family
+        # divergence (expected well below 100% — different model), not a
+        # graph-transform certification; the folded row below is the
+        # certification (same weights, transformed graph).
+        row, uni_final = _evaluate(
+            "unified", uni_predict, samples, labels, args.batch_size, mesh,
+            flax_final,
+        )
+        row["agreement_reference"] = "cascade flax (family divergence)"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+        uni_folded = make_unified_pipeline_folded(
+            uni_vars, stage1_threshold=uni_thr, float_dtype=dtype, mesh=mesh,
+        )
+        row, _ = _evaluate(
+            "unified(folded)", uni_folded, samples, labels, args.batch_size,
+            mesh, uni_final,
+        )
+        row["agreement_reference"] = "unified flax"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -193,6 +242,11 @@ def main(argv=None) -> None:
         "capacity": capacity,
         "rows": rows,
     }
+    if args.unified_checkpoint is not None:
+        payload["unified_threshold"] = (
+            args.unified_threshold if args.unified_threshold is not None
+            else args.stage1_threshold
+        )
     (out / "serving_certification.json").write_text(
         json.dumps(payload, indent=2)
     )

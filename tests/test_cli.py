@@ -108,11 +108,14 @@ def random_ckpts(tmp_path_factory):
 
     ckpts = tmp_path_factory.mktemp("random_ckpts")
     paths = {}
+    from av1tpu.models import UnifiedV6Model
+
     for name, cls, seed in (
         ("stage1", Stage1Model, 1),
         ("stage2", Stage2Model, 2),
         ("rect", Stage3RectModel, 3),
         ("ab", Stage3ABModel, 4),
+        ("unified", UnifiedV6Model, 5),
     ):
         m = cls()
         v = init_on_cpu(m, jax.random.PRNGKey(seed), jnp.zeros((2, 16, 16, 1)))
@@ -205,16 +208,21 @@ def test_certify_serving_cli(workspace, v6_dataset, random_ckpts, tmp_path):
         "--stage3-rect-checkpoint", str(paths["rect"]),
         "--stage3-ab-checkpoint", str(paths["ab"]),
         "--no-ab-fgvc", "--skip-int8", "--single-device",
+        "--unified-checkpoint", str(paths["unified"]),
+        "--unified-threshold", "0.5",
     ])
     payload = json.loads((out / "serving_certification.json").read_text())
     variants = [r["variant"].split("(")[0] for r in payload["rows"]]
-    assert variants == ["flax", "folded", "gated"]
+    assert variants == ["flax", "folded", "gated", "unified", "unified"]
     for r in payload["rows"]:
         assert 0.0 <= r["accuracy"] <= 1.0
         assert 0.0 <= r["agreement_vs_flax"] <= 1.0
         assert r["throughput_superblocks_per_sec"] > 0
     # flax is the reference row: agreement exactly 1 by construction
     assert payload["rows"][0]["agreement_vs_flax"] == 1.0
+    # the unified(folded) row certifies against the unified flax graph
+    assert payload["rows"][-1]["agreement_reference"] == "unified flax"
+    assert payload["unified_threshold"] == 0.5
     assert (out / "serving_certification.md").read_text().count("|") > 10
 
 
@@ -404,7 +412,8 @@ def test_predict_trees_tta_flag_wiring(monkeypatch):
     seen = {}
 
     def fake_build(model_dir, threshold, dtype, ab_fgvc, mesh=None,
-                   folded=False, tta=False, tta_align_ab=False):
+                   folded=False, tta=False, tta_align_ab=False,
+                   unified=False):
         seen["tta"], seen["align"] = tta, tta_align_ab
         raise RuntimeError("stop-test")
 
