@@ -232,6 +232,26 @@ def main(argv=None) -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+        if not args.skip_int8:
+            from av1tpu.quant import make_unified_pipeline_int8
+
+            idx = np.random.default_rng(0).choice(
+                len(train_b.samples),
+                size=min(args.calib_samples, len(train_b.samples)),
+                replace=False,
+            )
+            uni_int8 = make_unified_pipeline_int8(
+                uni_vars, train_b.samples[np.sort(idx)],
+                stage1_threshold=uni_thr, float_dtype=dtype, mesh=mesh,
+            )
+            row, _ = _evaluate(
+                "unified(int8)", uni_int8, samples, labels, args.batch_size,
+                mesh, uni_final,
+            )
+            row["agreement_reference"] = "unified flax"
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     payload = {

@@ -1,18 +1,24 @@
 """Post-training int8 quantization for TPU serving (net-new vs reference)."""
 from av1tpu.quant.ptq import (
     QuantStageModel,
+    QuantUnifiedModel,
     calibrate,
     fold_backbone,
     fold_head,
+    make_unified_pipeline_int8,
     make_v6_pipeline_int8,
     quantize_stage,
+    quantize_unified,
 )
 
 __all__ = [
     "QuantStageModel",
+    "QuantUnifiedModel",
     "calibrate",
     "fold_backbone",
     "fold_head",
+    "make_unified_pipeline_int8",
     "make_v6_pipeline_int8",
     "quantize_stage",
+    "quantize_unified",
 ]

@@ -378,12 +378,18 @@ def _head_apply(
     float_dtype=jnp.float32,
     qbias: Optional[Dict] = None,
     captured: Optional[Dict] = None,
+    site_prefix: str = "head",
 ):
-    """MLPHead inference forward (Dense/relu stack; dropout is identity)."""
+    """MLPHead inference forward (Dense/relu stack; dropout is identity).
+
+    ``site_prefix`` names the activation sites (``head.0`` ...) so several
+    heads sharing one backbone (the unified model) calibrate/quantize
+    under distinct keys.
+    """
     quant = qw is not None
     x = x.astype(float_dtype)
     for i, layer in enumerate(head):
-        site = f"head.{i}"
+        site = f"{site_prefix}.{i}"
         if observed is not None:
             m = jnp.max(jnp.abs(x), axis=0).astype(jnp.float32)
             observed[site] = (
@@ -452,20 +458,33 @@ class QuantStageModel:
         return _head_apply(self.head, feats, float_dtype=jnp.float32)
 
 
+def _as_heads(head) -> Dict[str, List[Dict]]:
+    """Normalize the single-head (list) form to the named-heads (dict of
+    site-prefix -> dense stack) form shared by stage and unified models."""
+    return head if isinstance(head, Mapping) else {"head": head}
+
+
 def calibrate(
-    folded: Dict, head: List[Dict], calib_x, capture: bool = False
+    folded: Dict, head, calib_x, capture: bool = False
 ):
     """Run the folded float forward once, collecting per-site per-channel
     activation absmax for every tensor the int8 graph will quantize.
 
-    Returns ``amax`` (site -> (C,) float64 numpy vector), plus the site
-    input tensors when ``capture=True`` (for bias correction)."""
+    ``head``: one dense stack (list) or several named ones (dict of site
+    prefix -> stack, e.g. the unified model's four heads). Returns ``amax``
+    (site -> (C,) float64 numpy vector), plus the site input tensors when
+    ``capture=True`` (for bias correction)."""
+    heads = _as_heads(head)
 
     def run(x):
         observed: Dict[str, jnp.ndarray] = {}
         captured: Dict[str, jnp.ndarray] = {} if capture else None
         feats = _backbone_apply(folded, x, observed=observed, captured=captured)
-        _head_apply(head, feats, observed=observed, captured=captured)
+        for prefix, stack in heads.items():
+            _head_apply(
+                stack, feats, observed=observed, captured=captured,
+                site_prefix=prefix,
+            )
         return observed, (captured if capture else {})
 
     observed, captured = jax.jit(run)(calib_x)
@@ -476,7 +495,7 @@ def calibrate(
 # Weight keys consuming each activation site, with their conv stride and
 # the folded-dict path of the kernel. Shared sites (block input feeds both
 # conv1 and the downsample) must share one equalization vector.
-def _site_consumers(folded: Dict, head: List[Dict]):
+def _site_consumers(folded: Dict, head):
     sites: Dict[str, List[Tuple[str, Any, int]]] = {}
     for gi, gname in enumerate(_GROUPS, start=1):
         for bi in range(2):
@@ -488,31 +507,23 @@ def _site_consumers(folded: Dict, head: List[Dict]):
                 cons.append((f"{n}.ds", blk["downsample"]["kernel"], stride))
             sites[f"{n}.in"] = cons
             sites[f"{n}.mid"] = [(f"{n}.conv2", blk["conv2"]["kernel"], 1)]
-    for i, layer in enumerate(head):
-        sites[f"head.{i}"] = [(f"head.{i}", layer["kernel"], 1)]
+    for prefix, stack in _as_heads(head).items():
+        for i, layer in enumerate(stack):
+            sites[f"{prefix}.{i}"] = [(f"{prefix}.{i}", layer["kernel"], 1)]
     return sites
 
 
-def quantize_stage(
-    variables: Mapping,
+def _quantize_sites(
+    folded: Dict,
+    heads: Dict[str, List[Dict]],
     calib_x,
-    float_dtype=jnp.float32,
-    equalize: bool = True,
-    bias_correct: bool = True,
-) -> QuantStageModel:
-    """Fold + calibrate + quantize one v6 stage model.
-
-    ``calib_x``: representative normalized float images (N,H,W,1).
-    ``equalize``: fold per-input-channel range equalization into the
-    weights (see module docstring); ``bias_correct``: fold the calibration
-    batch's per-channel mean quantization error into the biases. Both
-    default on — together they moved final-label agreement vs the flax
-    pipeline from 97.3% to the high 99s on trained checkpoints.
-    """
-    folded = fold_backbone(variables)
-    head = fold_head(variables)
-    amax, captured = calibrate(folded, head, calib_x, capture=True)
-    sites = _site_consumers(folded, head)
+    equalize: bool,
+    bias_correct: bool,
+):
+    """The shared fold-calibrate-quantize core: returns (scales, qw, qbias)
+    for a folded backbone plus any number of named dense-head stacks."""
+    amax, captured = calibrate(folded, heads, calib_x, capture=True)
+    sites = _site_consumers(folded, heads)
 
     scales: Dict[str, Tuple[jnp.ndarray, float]] = {}
     qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -605,18 +616,115 @@ def quantize_stage(
         )
         for site, consumers in sites.items():
             for wkey, _, _ in consumers:
-                if wkey.startswith("head."):
-                    base = head[int(wkey.split(".")[1])]["bias"]
+                prefix, which = wkey.rsplit(".", 1)
+                if prefix in heads:
+                    base = heads[prefix][int(which)]["bias"]
                 else:
-                    n, which = wkey.rsplit(".", 1)
-                    entry = folded[n]["downsample" if which == "ds" else which]
+                    entry = folded[prefix][
+                        "downsample" if which == "ds" else which
+                    ]
                     base = entry["bias"]
                 qbias[wkey] = (
                     jnp.asarray(base, jnp.float32) + deltas[wkey]
                 )
 
+    return scales, qw, qbias
+
+
+def quantize_stage(
+    variables: Mapping,
+    calib_x,
+    float_dtype=jnp.float32,
+    equalize: bool = True,
+    bias_correct: bool = True,
+) -> QuantStageModel:
+    """Fold + calibrate + quantize one v6 stage model.
+
+    ``calib_x``: representative normalized float images (N,H,W,1).
+    ``equalize``: fold per-input-channel range equalization into the
+    weights (see module docstring); ``bias_correct``: fold the calibration
+    batch's per-channel mean quantization error into the biases. Both
+    default on — together they moved final-label agreement vs the flax
+    pipeline from 97.3% to the high 99s on trained checkpoints.
+    """
+    folded = fold_backbone(variables)
+    head = fold_head(variables)
+    scales, qw, qbias = _quantize_sites(
+        folded, {"head": head}, calib_x, equalize, bias_correct
+    )
     return QuantStageModel(
         folded, head, scales, qw, float_dtype=float_dtype, qbias=qbias
+    )
+
+
+# Unified-model head order; site prefixes match the flax submodule names so
+# ``fold_head(variables, name=...)`` and the packed-logit column layout
+# (models/v6.UNIFIED_LOGIT_SLICES) stay aligned.
+_UNIFIED_HEADS = ("head_stage1", "head_stage2", "head_rect", "head_ab")
+
+
+@dataclass
+class QuantUnifiedModel:
+    """An int8-quantized :class:`av1tpu.models.UnifiedV6Model`:
+    ``__call__(x) -> (N, 10)`` packed logits (``split_unified_logits``
+    layout) on already-normalized float images. One int8 backbone forward
+    + four int8 dense head stacks."""
+
+    folded: Dict
+    heads: Dict[str, List[Dict]]
+    scales: Dict[str, Tuple[jnp.ndarray, float]]
+    qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
+    float_dtype: Any = jnp.float32
+    qbias: Optional[Dict[str, jnp.ndarray]] = None
+
+    def _forward(self, x, quant: bool):
+        scales = self.scales if quant else None
+        qw = self.qw if quant else None
+        qbias = self.qbias if quant else None
+        fd = self.float_dtype if quant else jnp.float32
+        feats = _backbone_apply(
+            self.folded, x, scales, qw, float_dtype=fd, qbias=qbias
+        )
+        return jnp.concatenate(
+            [
+                _head_apply(
+                    self.heads[name], feats, scales, qw, float_dtype=fd,
+                    qbias=qbias, site_prefix=name,
+                ).astype(jnp.float32)
+                for name in _UNIFIED_HEADS
+            ],
+            axis=-1,
+        )
+
+    def __call__(self, x):
+        return self._forward(x, quant=True)
+
+    def float_forward(self, x):
+        """The BN-folded float reference forward (same graph, no int8)."""
+        return self._forward(x, quant=False)
+
+
+def quantize_unified(
+    variables: Mapping,
+    calib_x,
+    float_dtype=jnp.float32,
+    equalize: bool = True,
+    bias_correct: bool = True,
+) -> QuantUnifiedModel:
+    """Fold + calibrate + quantize a trained ``UnifiedV6Model``.
+
+    The unified variable tree carries the same ``backbone`` submodule as
+    the per-stage models plus four named heads; all four calibrate and
+    quantize against ONE shared set of backbone activation scales (they
+    consume the same trunk), with per-head scales for the dense stacks.
+    """
+    folded = fold_backbone(variables)
+    heads = {name: fold_head(variables, name=name) for name in _UNIFIED_HEADS}
+    scales, qw, qbias = _quantize_sites(
+        folded, heads, calib_x, equalize, bias_correct
+    )
+    return QuantUnifiedModel(
+        folded, heads, scales, qw, float_dtype=float_dtype, qbias=qbias
     )
 
 
@@ -664,12 +772,45 @@ def make_v6_pipeline_int8(
     return _jit_with_mesh(predict, mesh)
 
 
+def make_unified_pipeline_int8(
+    variables: Mapping,
+    calib_images,
+    stage1_threshold: float = 0.45,
+    norm_scale: float = NORM_10BIT,
+    float_dtype=jnp.float32,
+    mesh=None,
+):
+    """int8 twin of :func:`av1tpu.eval.make_unified_pipeline_folded`.
+
+    ``variables``: a trained ``UnifiedV6Model`` variable tree;
+    ``calib_images``: uint16 calibration blocks (N,H,W,1). Returns
+    ``predict(images_u16) -> dict`` with the ``make_v6_pipeline`` output
+    contract and routing. The int8 cuts compound with the unified
+    family's ~4x backbone cut: one int8 trunk forward serves all four
+    stage decisions.
+    """
+    from av1tpu.eval.hierarchy import _jit_with_mesh
+    from av1tpu.eval.unified import _route_from_unified
+
+    calib_x = calib_images.astype(jnp.float32) / norm_scale
+    q = quantize_unified(variables, calib_x, float_dtype)
+
+    def predict(images):
+        x = images.astype(jnp.float32) / norm_scale
+        return _route_from_unified(q(x), stage1_threshold)
+
+    return _jit_with_mesh(predict, mesh)
+
+
 __all__ = [
     "QuantStageModel",
+    "QuantUnifiedModel",
     "is_plain_stage",
     "calibrate",
     "fold_backbone",
     "fold_head",
+    "make_unified_pipeline_int8",
     "make_v6_pipeline_int8",
     "quantize_stage",
+    "quantize_unified",
 ]

@@ -505,3 +505,74 @@ def test_compute_teacher_logits_matches_direct(images):
     np.testing.assert_allclose(
         got[:, 6:10], np.asarray(s3a.apply(s3av, x, train=False)), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 unified serving
+# ---------------------------------------------------------------------------
+
+def test_quantize_unified_close_to_float(unified, images):
+    """The int8 unified forward stays close to its own BN-folded float
+    reference on all four logit groups, and the float reference matches
+    the flax model exactly."""
+    from av1tpu.quant import quantize_unified
+
+    model, variables = unified
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_unified(variables, x[:16])
+
+    want = np.asarray(model.apply(variables, x, train=False))
+    ref = np.asarray(q.float_forward(x))
+    np.testing.assert_allclose(ref, want, atol=2e-4, rtol=1e-3)
+
+    got = np.asarray(jax.jit(lambda t: q(t))(x))
+    scale = max(np.abs(ref).max(), 0.1)
+    mae = np.abs(got - ref).mean()
+    assert mae < 0.08 * scale, (mae, scale)
+
+
+def test_unified_int8_pipeline_contract(unified, images):
+    """make_unified_pipeline_int8 honors the v6 pipeline output contract
+    and routes via v6_route of its own stage predictions; stage-1
+    probabilities track the folded float pipeline's."""
+    from av1tpu.quant import make_unified_pipeline_int8
+
+    _, variables = unified
+    predict_f = make_unified_pipeline_folded(
+        variables, stage1_threshold=0.45, norm_scale=1023.0,
+        float_dtype=jnp.float32,
+    )
+    predict_q = make_unified_pipeline_int8(
+        variables, images[:16], stage1_threshold=0.45, norm_scale=1023.0
+    )
+    out_f = {k: np.asarray(v) for k, v in predict_f(jnp.asarray(images)).items()}
+    out_q = {k: np.asarray(v) for k, v in predict_q(jnp.asarray(images)).items()}
+
+    assert set(out_q) == set(out_f)
+    for k in out_f:
+        assert out_q[k].shape == out_f[k].shape, k
+    assert set(np.unique(out_q["final"])).issubset(set(range(8)))
+    np.testing.assert_array_equal(
+        out_q["final"],
+        np.asarray(
+            v6_route(
+                jnp.asarray(out_q["stage1_pred"]),
+                jnp.asarray(out_q["stage2_pred"]),
+                jnp.asarray(out_q["stage3_rect_pred"]),
+                jnp.asarray(out_q["stage3_ab_pred"]),
+            )
+        ),
+    )
+    assert np.abs(out_q["stage1_prob"] - out_f["stage1_prob"]).max() < 0.06
+
+    from av1tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+    sharded = make_unified_pipeline_int8(
+        variables, images[:16], stage1_threshold=0.45, norm_scale=1023.0,
+        mesh=mesh,
+    )
+    out_sharded = {k: np.asarray(v) for k, v in sharded(jnp.asarray(images)).items()}
+    for key in out_q:
+        np.testing.assert_allclose(out_sharded[key], out_q[key], atol=1e-5,
+                                   err_msg=key)
