@@ -27,12 +27,15 @@ TPU-first design:
   ``E[conv_f(x) - conv_q(x)]`` over the calibration batch is folded into
   each conv/dense bias (quantized graph only — the float reference
   forward keeps the exact folded biases).
-* **Convs lower to im2col + int8 ``dot_general``** with int32
-  accumulation — XLA maps that contraction straight onto the int8 MXU.
-  At 1x1 spatial extent a 3x3 SAME conv collapses to its center tap
-  (the ``SpatialConv`` trick, ``models/layers.py:160``), carried into the
-  integer domain: the deep ResNet stages on 16px blocks become pure int8
-  channel matmuls.
+* **Hybrid conv lowering** (default; measured fastest on the v5e — see
+  the SMM section below): group-1 blocks run as direct int8
+  ``conv_general_dilated`` with int32 accumulation; deeper blocks at
+  <=4x4 extent lower to flat **spatial-matmul (SMM)** int8 contractions —
+  one dense (S*S*Ci, So*So*Co) matmul per conv with SAME padding baked
+  into structural zeros. At 1x1 spatial extent a 3x3 SAME conv collapses
+  to its center tap (the ``SpatialConv`` trick, ``models/layers.py:160``),
+  carried into the integer domain. ``lowering="im2col"`` keeps the
+  legacy all-conv form.
 * **Float islands.** The stem conv, SE / spatial-attention gates,
   residual adds and dequant epilogues stay in float (``float_dtype``):
   they are a rounding-sensitive, FLOP-trivial fraction of the graph.
@@ -174,6 +177,17 @@ def _int_dot(lhs_i8, rhs_i8):
     )
 
 
+def _int_conv(x_i8, k_i8, stride: int):
+    """Direct int8 SAME conv with int32 accumulation (exact: integer
+    arithmetic, no rounding). Measured faster than the im2col lowering on
+    the v5e at the 4x4-extent layer-1 shapes (docs/PARITY.md §int8
+    lowering): no 9-tap patch materialization in HBM."""
+    return jax.lax.conv_general_dilated(
+        x_i8, k_i8, (stride, stride), "SAME", dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32,
+    )
+
+
 def _patches3x3(x, stride: int):
     """SAME 3x3 im2col: (B,H,W,C) -> (B,H',W',9C), zero padded (exact for
     symmetric quantization). Works for any dtype including int8.
@@ -204,22 +218,25 @@ def _patches3x3(x, stride: int):
 
 
 def _qconv3x3(x, act, w_i8, s_w, stride: int, float_dtype):
-    """int8 3x3 SAME conv via im2col (center-tap matmul at 1x1 extent).
+    """int8 3x3 SAME conv (center-tap matmul at 1x1 extent, direct int8
+    conv otherwise — bit-identical to the im2col lowering, measured
+    faster).
 
     At 1x1 spatial extent the center tap is exact for ANY stride: SAME
     padding is (1,1) there and the window covers only padding zeros plus
     the center pixel (output extent is ceil(1/s) = 1 regardless).
+
+    ``w_i8`` is the flat (9*C, O) int8 kernel (``_quant_weight`` of the
+    HWIO kernel); the direct-conv path reshapes it back to HWIO.
     """
     xq = _quant_act(x, act)
     scale = (s_w * np.float32(act[1])).astype(jnp.float32)
+    c = x.shape[-1]
     if x.shape[1] == 1 and x.shape[2] == 1:
-        c = x.shape[-1]
         w_center = w_i8.reshape(9, c, -1)[4]
         y = _int_dot(xq[:, 0, 0, :], w_center)
         return (y.astype(jnp.float32) * scale)[:, None, None, :].astype(float_dtype)
-    p = _patches3x3(xq, stride)
-    b, h, w, k = p.shape
-    y = _int_dot(p.reshape(-1, k), w_i8).reshape(b, h, w, -1)
+    y = _int_conv(xq, w_i8.reshape(3, 3, c, -1), stride)
     return (y.astype(jnp.float32) * scale).astype(float_dtype)
 
 
@@ -246,6 +263,281 @@ def _conv_f(x, kernel, stride: int):
     return jax.lax.conv_general_dilated(
         x, kernel, (stride, stride), "SAME", dimension_numbers=_DIMNUMS
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial-matmul (SMM) lowering: tiny-extent convs as ONE dense matmul
+# ---------------------------------------------------------------------------
+#
+# Post-stem the 16px pipeline's spatial extents are 4x4 -> 1x1 — far below
+# the MXU's 128x128 tile, so per-position convs (or im2col with its 9-tap
+# HBM materialization) leave the systolic array mostly idle. The SMM
+# lowering flattens spatial x channel into ONE axis (NHWC row-major) and
+# expresses a SAME conv at extent (h,w) as a single dense
+# (h*w*Ci, ho*wo*Co) matmul whose block structure bakes in the kernel taps
+# and SAME-padding zeros. At 2x2 extent this is FEWER MACs than 9-tap
+# im2col (the window covers <=4 real positions), at 4x4 it is 16/9 more —
+# but every op becomes an MXU-aligned K>=256 contraction. Measured on the
+# v5e (docs/PARITY.md §int8 lowering): direct int8 conv for the 4x4
+# group-1 blocks + int8 SMM for groups 2-4 runs the stage-1 backbone at
+# 1.19x the bf16 folded path, vs 0.53x for the all-im2col lowering. In
+# bf16 the same lowering LOSES to XLA's conv path (group-1's 16/9 FLOP
+# overhead is not paid back), so SMM is int8-only.
+
+
+def build_smm_matrix(kernel, h: int, w: int, stride: int) -> np.ndarray:
+    """Dense (h*w*Ci, ho*wo*Co) matrix equal to a SAME 3x3 conv at extent
+    (h, w): ``conv(x, kernel) == (x.reshape(B,-1) @ M).reshape(B,ho,wo,Co)``.
+
+    Padding matches XLA SAME semantics (same convention as
+    :func:`_patches3x3`): stride 1 pads (1,1); stride 2 on even extents
+    pads (0,1) — the window for output ``o`` starts at input row ``2*o``.
+    """
+    k = np.asarray(kernel, np.float32)
+    kh, kw, ci, co = k.shape
+    ho, wo = -(-h // stride), -(-w // stride)
+    m = np.zeros((h * w * ci, ho * wo * co), np.float32)
+    pad = (kh - 1) // 2 if stride == 1 else 0
+    for oy in range(ho):
+        for ox in range(wo):
+            dst = (oy * wo + ox) * co
+            for dy in range(kh):
+                for dx in range(kw):
+                    iy = oy * stride + dy - pad
+                    ix = ox * stride + dx - pad
+                    if 0 <= iy < h and 0 <= ix < w:
+                        src = (iy * w + ix) * ci
+                        m[src:src + ci, dst:dst + co] = k[dy, dx]
+    return m
+
+
+def build_smm_matrix_1x1(kernel, h: int, w: int, stride: int) -> np.ndarray:
+    """SMM matrix for a 1x1 conv (the downsample shortcut): output
+    position (oy,ox) reads input position (oy*stride, ox*stride)."""
+    k = np.asarray(kernel, np.float32)[0, 0]
+    ci, co = k.shape
+    ho, wo = -(-h // stride), -(-w // stride)
+    m = np.zeros((h * w * ci, ho * wo * co), np.float32)
+    for oy in range(ho):
+        for ox in range(wo):
+            src = ((oy * stride) * w + (ox * stride)) * ci
+            dst = (oy * wo + ox) * co
+            m[src:src + ci, dst:dst + co] = k
+    return m
+
+
+def _stem_out_extent(hw: int) -> int:
+    """Input extent -> post-stem post-maxpool extent (7x7/2 conv with
+    explicit (3,3) padding, then 3x3/2 maxpool with (1,1) padding)."""
+    conv_out = (hw + 6 - 7) // 2 + 1
+    return (conv_out + 2 - 3) // 2 + 1
+
+
+def _plan_backbone(folded: Dict, hw: int) -> Dict:
+    """Decide per-block lowering + build SMM weights/biases for a given
+    input extent ``hw`` (the image height/width).
+
+    Rule (measured, docs/PARITY.md §int8 lowering): a block lowers to SMM
+    when its input extent is <=2 (SMM is strictly fewer MACs there), or
+    <=4 outside group 1 (the 16/9 overhead pays for MXU alignment on the
+    narrower deep channels); otherwise it stays a direct int8 conv. Group
+    1 at 4x4 keeps the conv form — its 64-channel tensors are the
+    largest, and the 16/9 extra traffic measured slower.
+
+    Returns ``{"blocks": {name: {"form", "s", "so", "stride", "ch"}},
+    "smm_w": {wkey: np (K,N)}, "smm_b": {wkey: np (N,)}}``.
+    """
+    s = _stem_out_extent(hw)
+    blocks: Dict[str, Dict] = {}
+    smm_w: Dict[str, np.ndarray] = {}
+    smm_b: Dict[str, np.ndarray] = {}
+    for gi, gname in enumerate(_GROUPS, start=1):
+        for bi in range(2):
+            n = f"{gname}_{bi}"
+            blk = folded[n]
+            stride = 2 if (gi > 1 and bi == 0) else 1
+            so = max(1, -(-s // stride))
+            use_smm = s <= 2 or (s <= 4 and gi >= 2)
+            ch = int(np.asarray(blk["conv2"]["kernel"]).shape[-1])
+            blocks[n] = {
+                "form": "smm" if use_smm else "conv",
+                "s": s, "so": so, "stride": stride, "ch": ch,
+            }
+            if use_smm:
+                k1 = np.asarray(blk["conv1"]["kernel"], np.float32)
+                k2 = np.asarray(blk["conv2"]["kernel"], np.float32)
+                smm_w[f"{n}.conv1"] = build_smm_matrix(k1, s, s, stride)
+                smm_b[f"{n}.conv1"] = np.tile(
+                    np.asarray(blk["conv1"]["bias"], np.float32), so * so
+                )
+                smm_w[f"{n}.conv2"] = build_smm_matrix(k2, so, so, 1)
+                smm_b[f"{n}.conv2"] = np.tile(
+                    np.asarray(blk["conv2"]["bias"], np.float32), so * so
+                )
+                if blk["downsample"] is not None:
+                    kd = np.asarray(
+                        blk["downsample"]["kernel"], np.float32
+                    )
+                    smm_w[f"{n}.ds"] = build_smm_matrix_1x1(kd, s, s, stride)
+                    smm_b[f"{n}.ds"] = np.tile(
+                        np.asarray(blk["downsample"]["bias"], np.float32),
+                        so * so,
+                    )
+            s = so
+    return {"blocks": blocks, "smm_w": smm_w, "smm_b": smm_b}
+
+
+def _backbone_apply_hybrid(
+    folded: Dict,
+    x,
+    plan: Dict,
+    scales: Optional[Dict[str, Tuple]] = None,
+    qw: Optional[Dict] = None,
+    observed: Optional[Dict] = None,
+    float_dtype=jnp.float32,
+    qbias: Optional[Dict] = None,
+    captured: Optional[Dict] = None,
+):
+    """The hybrid-lowered backbone forward (observe- / quantize-mode).
+
+    Same observe/quantize duality as :func:`_backbone_apply`, but conv
+    sites execute per the ``plan``: direct int8 conv for "conv" blocks,
+    flat spatial-matmuls for "smm" blocks. Observe mode records the
+    EXACT tensors the quantized graph will see (flat for SMM sites), so
+    calibration scales and bias corrections line up by construction.
+    Stem, SE gates, spatial attention and GAP stay float, as in the
+    legacy lowering.
+    """
+    quant = qw is not None
+    nb = x.shape[0]
+
+    def observe(site, t):
+        if observed is not None:
+            m = jnp.max(jnp.abs(t), axis=tuple(range(t.ndim - 1))).astype(
+                jnp.float32
+            )
+            observed[site] = (
+                jnp.maximum(observed[site], m) if site in observed else m
+            )
+        if captured is not None:
+            captured[site] = t
+
+    def _bias(wkey, base):
+        if quant and qbias is not None and wkey in qbias:
+            return qbias[wkey]
+        return base
+
+    def conv3(site, wkey, xin, entry, stride):
+        observe(site, xin)
+        if quant:
+            y = _qconv3x3(
+                xin, scales[site], qw[wkey][0], qw[wkey][1], stride,
+                float_dtype,
+            )
+        else:
+            y = _conv_f(xin, entry["kernel"], stride)
+        return y + _bias(wkey, entry["bias"]).astype(y.dtype)
+
+    def conv1(site, wkey, xin, entry, stride):
+        observe(site, xin)
+        if quant:
+            y = _qconv1x1(
+                xin, scales[site], qw[wkey][0], qw[wkey][1], stride,
+                float_dtype,
+            )
+        else:
+            kernel = entry["kernel"].astype(xin.dtype)
+            y = jax.lax.conv_general_dilated(
+                xin, kernel, (stride, stride), "SAME",
+                dimension_numbers=_DIMNUMS,
+            )
+        return y + _bias(wkey, entry["bias"]).astype(y.dtype)
+
+    def smm_mm(site, wkey, xin):
+        observe(site, xin)
+        if quant:
+            act = scales[site]
+            xq = _quant_act(xin, act)
+            w_i8, s_w = qw[wkey]
+            scale = (s_w * np.float32(act[1])).astype(jnp.float32)
+            y = (_int_dot(xq, w_i8).astype(jnp.float32) * scale).astype(
+                float_dtype
+            )
+        else:
+            y = xin @ jnp.asarray(plan["smm_w"][wkey], xin.dtype)
+        return y + _bias(
+            wkey, jnp.asarray(plan["smm_b"][wkey], jnp.float32)
+        ).astype(y.dtype)
+
+    x = x.astype(float_dtype)
+    stem = folded["stem"]
+    x = jax.lax.conv_general_dilated(
+        x, stem["kernel"].astype(float_dtype), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=_DIMNUMS,
+    )
+    x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
+    x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    flat = False
+    for gi, gname in enumerate(_GROUPS, start=1):
+        for bi in range(2):
+            n = f"{gname}_{bi}"
+            blk = folded[n]
+            p = plan["blocks"][n]
+            if p["form"] == "smm":
+                if not flat:
+                    x = x.reshape(nb, -1)
+                    flat = True
+                y = smm_mm(f"{n}.in", f"{n}.conv1", x)
+                y = jnp.maximum(y, 0)
+                y = smm_mm(f"{n}.mid", f"{n}.conv2", y)
+                if blk["downsample"] is not None:
+                    res = smm_mm(f"{n}.in", f"{n}.ds", x)
+                else:
+                    res = x
+                x = jnp.maximum(y + res, 0)
+            else:
+                if flat:
+                    x = x.reshape(nb, p["s"], p["s"], -1)
+                    flat = False
+                y = conv3(f"{n}.in", f"{n}.conv1", x, blk["conv1"], p["stride"])
+                y = jnp.maximum(y, 0)
+                y = conv3(f"{n}.mid", f"{n}.conv2", y, blk["conv2"], 1)
+                if blk["downsample"] is not None:
+                    res = conv1(
+                        f"{n}.in", f"{n}.ds", x, blk["downsample"], p["stride"]
+                    )
+                else:
+                    res = x
+                x = jnp.maximum(y + res, 0)
+        ch = plan["blocks"][f"{gname}_1"]["ch"]
+        se = folded[f"se{gi}"]
+        if flat:
+            g = x.reshape(nb, -1, ch).mean(axis=1)
+        else:
+            g = jnp.mean(x, axis=(1, 2))
+        g = jnp.maximum(g @ se["d0"].astype(g.dtype), 0)
+        g = jax.nn.sigmoid(g @ se["d1"].astype(g.dtype))
+        if flat:
+            x = (x.reshape(nb, -1, ch) * g[:, None, :]).reshape(nb, -1)
+        else:
+            x = x * g[:, None, None, :]
+
+    so = plan["blocks"]["layer4_1"]["so"]
+    if flat:
+        x = x.reshape(nb, so, so, -1)
+    sa_kernel = folded["spatial_attn"].astype(float_dtype)
+    avg_map = jnp.mean(x, axis=-1, keepdims=True)
+    max_map = jnp.max(x, axis=-1, keepdims=True)
+    a = jnp.concatenate([avg_map, max_map], axis=-1)
+    if so == 1:
+        attn = (a[:, 0, 0, :] @ sa_kernel[3, 3])[:, None, None, :]
+    else:
+        attn = jax.lax.conv_general_dilated(
+            a, sa_kernel, (1, 1), "SAME", dimension_numbers=_DIMNUMS
+        )
+    x = x * jax.nn.sigmoid(attn)
+    return jnp.mean(x, axis=(1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +717,10 @@ def _head_apply(
 @dataclass
 class QuantStageModel:
     """A BN-folded, int8-quantized v6 stage model: ``__call__(x) -> logits``
-    on already-normalized float images."""
+    on already-normalized float images. ``plan`` (set by the default
+    "hybrid" lowering) routes the backbone through
+    :func:`_backbone_apply_hybrid`; ``plan=None`` is the legacy all-conv
+    lowering."""
 
     folded: Dict
     head: List[Dict]
@@ -433,16 +728,23 @@ class QuantStageModel:
     qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
     float_dtype: Any = jnp.float32
     qbias: Optional[Dict[str, jnp.ndarray]] = None
+    plan: Optional[Dict] = None
 
     def __call__(self, x):
-        feats = _backbone_apply(
-            self.folded,
-            x,
-            self.scales,
-            self.qw,
-            float_dtype=self.float_dtype,
-            qbias=self.qbias,
-        )
+        if self.plan is not None:
+            feats = _backbone_apply_hybrid(
+                self.folded, x, self.plan, self.scales, self.qw,
+                float_dtype=self.float_dtype, qbias=self.qbias,
+            )
+        else:
+            feats = _backbone_apply(
+                self.folded,
+                x,
+                self.scales,
+                self.qw,
+                float_dtype=self.float_dtype,
+                qbias=self.qbias,
+            )
         return _head_apply(
             self.head,
             feats,
@@ -465,21 +767,30 @@ def _as_heads(head) -> Dict[str, List[Dict]]:
 
 
 def calibrate(
-    folded: Dict, head, calib_x, capture: bool = False
+    folded: Dict, head, calib_x, capture: bool = False, plan: Optional[Dict] = None
 ):
     """Run the folded float forward once, collecting per-site per-channel
     activation absmax for every tensor the int8 graph will quantize.
 
     ``head``: one dense stack (list) or several named ones (dict of site
-    prefix -> stack, e.g. the unified model's four heads). Returns ``amax``
-    (site -> (C,) float64 numpy vector), plus the site input tensors when
-    ``capture=True`` (for bias correction)."""
+    prefix -> stack, e.g. the unified model's four heads). ``plan``
+    switches observation to the hybrid-lowered graph (flat tensors at SMM
+    sites) so the scales describe exactly what the quantized graph sees.
+    Returns ``amax`` (site -> (C,) float64 numpy vector), plus the site
+    input tensors when ``capture=True`` (for bias correction)."""
     heads = _as_heads(head)
 
     def run(x):
         observed: Dict[str, jnp.ndarray] = {}
         captured: Dict[str, jnp.ndarray] = {} if capture else None
-        feats = _backbone_apply(folded, x, observed=observed, captured=captured)
+        if plan is None:
+            feats = _backbone_apply(
+                folded, x, observed=observed, captured=captured
+            )
+        else:
+            feats = _backbone_apply_hybrid(
+                folded, x, plan, observed=observed, captured=captured
+            )
         for prefix, stack in heads.items():
             _head_apply(
                 stack, feats, observed=observed, captured=captured,
@@ -492,24 +803,53 @@ def calibrate(
     return (amax, captured) if capture else amax
 
 
-# Weight keys consuming each activation site, with their conv stride and
-# the folded-dict path of the kernel. Shared sites (block input feeds both
-# conv1 and the downsample) must share one equalization vector.
-def _site_consumers(folded: Dict, head):
-    sites: Dict[str, List[Tuple[str, Any, int]]] = {}
+# Weight keys consuming each activation site, as 4-tuples
+# (wkey, quantizable kernel, conv stride, bias base). Shared sites (block
+# input feeds both conv1 and the downsample) must share one equalization
+# vector. With a ``plan``, SMM blocks contribute their dense spatial-matmul
+# matrices (2D) and position-tiled biases instead of conv kernels.
+def _site_consumers(folded: Dict, head, plan: Optional[Dict] = None):
+    sites: Dict[str, List[Tuple[str, Any, int, Any]]] = {}
     for gi, gname in enumerate(_GROUPS, start=1):
         for bi in range(2):
             n = f"{gname}_{bi}"
             blk = folded[n]
             stride = 2 if (gi > 1 and bi == 0) else 1
-            cons = [(f"{n}.conv1", blk["conv1"]["kernel"], stride)]
+            if plan is not None and plan["blocks"][n]["form"] == "smm":
+                smm_w, smm_b = plan["smm_w"], plan["smm_b"]
+                cons = [
+                    (f"{n}.conv1", smm_w[f"{n}.conv1"], 1,
+                     smm_b[f"{n}.conv1"])
+                ]
+                if blk["downsample"] is not None:
+                    cons.append(
+                        (f"{n}.ds", smm_w[f"{n}.ds"], 1, smm_b[f"{n}.ds"])
+                    )
+                sites[f"{n}.in"] = cons
+                sites[f"{n}.mid"] = [
+                    (f"{n}.conv2", smm_w[f"{n}.conv2"], 1,
+                     smm_b[f"{n}.conv2"])
+                ]
+                continue
+            cons = [
+                (f"{n}.conv1", blk["conv1"]["kernel"], stride,
+                 blk["conv1"]["bias"])
+            ]
             if blk["downsample"] is not None:
-                cons.append((f"{n}.ds", blk["downsample"]["kernel"], stride))
+                cons.append(
+                    (f"{n}.ds", blk["downsample"]["kernel"], stride,
+                     blk["downsample"]["bias"])
+                )
             sites[f"{n}.in"] = cons
-            sites[f"{n}.mid"] = [(f"{n}.conv2", blk["conv2"]["kernel"], 1)]
+            sites[f"{n}.mid"] = [
+                (f"{n}.conv2", blk["conv2"]["kernel"], 1,
+                 blk["conv2"]["bias"])
+            ]
     for prefix, stack in _as_heads(head).items():
         for i, layer in enumerate(stack):
-            sites[f"{prefix}.{i}"] = [(f"{prefix}.{i}", layer["kernel"], 1)]
+            sites[f"{prefix}.{i}"] = [
+                (f"{prefix}.{i}", layer["kernel"], 1, layer["bias"])
+            ]
     return sites
 
 
@@ -519,11 +859,14 @@ def _quantize_sites(
     calib_x,
     equalize: bool,
     bias_correct: bool,
+    plan: Optional[Dict] = None,
 ):
     """The shared fold-calibrate-quantize core: returns (scales, qw, qbias)
-    for a folded backbone plus any number of named dense-head stacks."""
-    amax, captured = calibrate(folded, heads, calib_x, capture=True)
-    sites = _site_consumers(folded, heads)
+    for a folded backbone plus any number of named dense-head stacks.
+    ``plan`` selects the hybrid lowering's site graph (SMM matrices as
+    consumers at the planned blocks)."""
+    amax, captured = calibrate(folded, heads, calib_x, capture=True, plan=plan)
+    sites = _site_consumers(folded, heads, plan=plan)
 
     scales: Dict[str, Tuple[jnp.ndarray, float]] = {}
     qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -533,7 +876,7 @@ def _quantize_sites(
         if equalize:
             # per-input-channel weight absmax across all consumers
             w = np.zeros_like(a)
-            for _, kernel, _ in consumers:
+            for _, kernel, _, _ in consumers:
                 k = np.abs(np.asarray(kernel, np.float64))
                 k = k.reshape(-1, k.shape[-2], k.shape[-1]) if k.ndim == 4 else k[None]
                 w = np.maximum(w, k.max(axis=(0, 2)))
@@ -546,7 +889,7 @@ def _quantize_sites(
         s_x = max(float((a / e).max()), 1e-6) / 127.0
         inv = jnp.asarray(1.0 / (e * s_x), jnp.float32)
         scales[site] = (inv, s_x)
-        for wkey, kernel, _ in consumers:
+        for wkey, kernel, _, _ in consumers:
             ax = kernel.ndim - 2  # input-channel axis: 2 for convs, 0 for dense
             shape = [1] * kernel.ndim
             shape[ax] = -1
@@ -568,10 +911,10 @@ def _quantize_sites(
             for site, consumers in sites.items():
                 x = captured_args[site].astype(jnp.float32)
                 act = scales[site]
-                for wkey, _, stride in consumers:
+                for wkey, _, stride, _ in consumers:
                     kernel = kernel_args[wkey]
                     q_int, q_scale = qw_args[wkey]
-                    if kernel.ndim == 2:  # dense head layer
+                    if kernel.ndim == 2:  # dense head layer / SMM matrix
                         y_f = x @ kernel
                         y_q = (
                             _int_dot(_quant_act(x, act), q_int).astype(
@@ -604,26 +947,18 @@ def _quantize_sites(
         deltas = jax.jit(corrections)(
             {site: captured[site] for site in sites},
             {
-                wkey: kernel.astype(jnp.float32)
+                wkey: jnp.asarray(kernel, jnp.float32)
                 for consumers in sites.values()
-                for wkey, kernel, _ in consumers
+                for wkey, kernel, _, _ in consumers
             },
             {
                 wkey: (qw[wkey][0], qw[wkey][1])
                 for consumers in sites.values()
-                for wkey, _, _ in consumers
+                for wkey, _, _, _ in consumers
             },
         )
         for site, consumers in sites.items():
-            for wkey, _, _ in consumers:
-                prefix, which = wkey.rsplit(".", 1)
-                if prefix in heads:
-                    base = heads[prefix][int(which)]["bias"]
-                else:
-                    entry = folded[prefix][
-                        "downsample" if which == "ds" else which
-                    ]
-                    base = entry["bias"]
+            for wkey, _, _, base in consumers:
                 qbias[wkey] = (
                     jnp.asarray(base, jnp.float32) + deltas[wkey]
                 )
@@ -637,6 +972,7 @@ def quantize_stage(
     float_dtype=jnp.float32,
     equalize: bool = True,
     bias_correct: bool = True,
+    lowering: str = "hybrid",
 ) -> QuantStageModel:
     """Fold + calibrate + quantize one v6 stage model.
 
@@ -646,14 +982,24 @@ def quantize_stage(
     batch's per-channel mean quantization error into the biases. Both
     default on — together they moved final-label agreement vs the flax
     pipeline from 97.3% to the high 99s on trained checkpoints.
+    ``lowering``: "hybrid" (default — direct int8 convs + spatial-matmul
+    tail, the fast path; see the SMM section docstring) or "im2col"
+    (legacy all-conv lowering).
     """
+    if lowering not in ("hybrid", "im2col"):
+        raise ValueError(f"unknown lowering {lowering!r}")
     folded = fold_backbone(variables)
     head = fold_head(variables)
+    plan = (
+        _plan_backbone(folded, int(calib_x.shape[1]))
+        if lowering == "hybrid" else None
+    )
     scales, qw, qbias = _quantize_sites(
-        folded, {"head": head}, calib_x, equalize, bias_correct
+        folded, {"head": head}, calib_x, equalize, bias_correct, plan=plan
     )
     return QuantStageModel(
-        folded, head, scales, qw, float_dtype=float_dtype, qbias=qbias
+        folded, head, scales, qw, float_dtype=float_dtype, qbias=qbias,
+        plan=plan,
     )
 
 
@@ -676,15 +1022,22 @@ class QuantUnifiedModel:
     qw: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]
     float_dtype: Any = jnp.float32
     qbias: Optional[Dict[str, jnp.ndarray]] = None
+    plan: Optional[Dict] = None
 
     def _forward(self, x, quant: bool):
         scales = self.scales if quant else None
         qw = self.qw if quant else None
         qbias = self.qbias if quant else None
         fd = self.float_dtype if quant else jnp.float32
-        feats = _backbone_apply(
-            self.folded, x, scales, qw, float_dtype=fd, qbias=qbias
-        )
+        if quant and self.plan is not None:
+            feats = _backbone_apply_hybrid(
+                self.folded, x, self.plan, scales, qw, float_dtype=fd,
+                qbias=qbias,
+            )
+        else:
+            feats = _backbone_apply(
+                self.folded, x, scales, qw, float_dtype=fd, qbias=qbias
+            )
         return jnp.concatenate(
             [
                 _head_apply(
@@ -710,6 +1063,7 @@ def quantize_unified(
     float_dtype=jnp.float32,
     equalize: bool = True,
     bias_correct: bool = True,
+    lowering: str = "hybrid",
 ) -> QuantUnifiedModel:
     """Fold + calibrate + quantize a trained ``UnifiedV6Model``.
 
@@ -717,14 +1071,22 @@ def quantize_unified(
     the per-stage models plus four named heads; all four calibrate and
     quantize against ONE shared set of backbone activation scales (they
     consume the same trunk), with per-head scales for the dense stacks.
+    ``lowering`` as in :func:`quantize_stage`.
     """
+    if lowering not in ("hybrid", "im2col"):
+        raise ValueError(f"unknown lowering {lowering!r}")
     folded = fold_backbone(variables)
     heads = {name: fold_head(variables, name=name) for name in _UNIFIED_HEADS}
+    plan = (
+        _plan_backbone(folded, int(calib_x.shape[1]))
+        if lowering == "hybrid" else None
+    )
     scales, qw, qbias = _quantize_sites(
-        folded, heads, calib_x, equalize, bias_correct
+        folded, heads, calib_x, equalize, bias_correct, plan=plan
     )
     return QuantUnifiedModel(
-        folded, heads, scales, qw, float_dtype=float_dtype, qbias=qbias
+        folded, heads, scales, qw, float_dtype=float_dtype, qbias=qbias,
+        plan=plan,
     )
 
 

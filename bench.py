@@ -128,8 +128,11 @@ def bench_tpu() -> dict:
     anatomy"): vmapped stacked backbones (7-14% slower), the Pallas
     layer-group mega-kernel (22x slower — relayout-bound at 4x4 spatial),
     grouped/shared-input conv packing (neutral to 1.8x slower). int8 PTQ
-    throughput is measured fresh each run (the ``int8`` section below) —
-    it stays the accuracy-certified alternative path, not the headline.
+    throughput is measured fresh each run (the ``int8`` section below);
+    with the round-4 hybrid conv+spatial-matmul lowering it runs FASTER
+    than the bf16 folded graph (~1.2x), but the headline stays the
+    exact-agreement bf16 formulation — int8 is certified at ~99.5%
+    final-label agreement, not 100%.
     """
     import jax
 
@@ -253,6 +256,23 @@ def bench_tpu() -> dict:
         "mfu": round(best[1], 4) if best[1] else None,
         "batch": best[2],
         "vs_folded_headline": round(best[0] / headline, 2),
+    }
+
+    _progress("unified int8 pipeline (16px, hybrid lowering)")
+    # the compound of both serving cuts: one shared trunk (unified) AND
+    # the int8 hybrid lowering (quant/ptq.py SMM section) — the fastest
+    # measured 16px stage1-3 formulation on this chip
+    from av1tpu.quant import make_unified_pipeline_int8
+
+    predict_uni_i8 = make_unified_pipeline_int8(
+        uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype
+    )
+    thr_ui, _, _ = _time_predict(
+        predict_uni_i8, results["unified"]["batch"], 16, iters=20
+    )
+    results["unified_int8"] = {
+        "throughput": round(thr_ui, 1),
+        "vs_folded_headline": round(thr_ui / headline, 2),
     }
 
     _progress("unified tree cascade (single-backbone levels)")

@@ -329,3 +329,83 @@ def test_folded_matches_flax_on_trained_weights(trained_v6_models, images):
     )
     agreement = (out_f["final"] == out_d["final"]).mean()
     assert agreement >= 0.97, agreement
+
+
+def test_smm_matrix_matches_conv_exactly():
+    """The spatial-matmul matrix reproduces XLA SAME conv outputs exactly
+    (same padding semantics) for every extent/stride the plan uses."""
+    from av1tpu.quant.ptq import build_smm_matrix, build_smm_matrix_1x1
+
+    rng = np.random.default_rng(3)
+    for h, stride in ((4, 1), (4, 2), (2, 1), (2, 2)):
+        x = jnp.asarray(rng.normal(0, 1, (8, h, h, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 16, 24)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, k, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        m = build_smm_matrix(k, h, h, stride)
+        so = -(-h // stride)
+        got = (x.reshape(8, -1) @ jnp.asarray(m)).reshape(8, so, so, 24)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
+            err_msg=f"h={h} stride={stride}",
+        )
+        kd = jnp.asarray(rng.normal(0, 0.2, (1, 1, 16, 24)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, kd, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        md = build_smm_matrix_1x1(kd, h, h, stride)
+        got = (x.reshape(8, -1) @ jnp.asarray(md)).reshape(8, so, so, 24)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
+            err_msg=f"1x1 h={h} stride={stride}",
+        )
+
+
+def test_plan_backbone_rules(stage1):
+    """Lowering plan: group-1 stays conv at 4x4 (16px input) but lowers to
+    SMM at 2x2 (8px input); deeper groups lower at <=4x4."""
+    from av1tpu.quant.ptq import _plan_backbone, fold_backbone
+
+    _, variables = stage1
+    folded = fold_backbone(variables)
+    p16 = _plan_backbone(folded, 16)["blocks"]
+    assert p16["layer1_0"] == {
+        "form": "conv", "s": 4, "so": 4, "stride": 1, "ch": 64}
+    assert p16["layer2_0"]["form"] == "smm" and p16["layer2_0"]["s"] == 4
+    assert p16["layer4_1"] == {
+        "form": "smm", "s": 1, "so": 1, "stride": 2 if False else 1,
+        "ch": 512}
+    p8 = _plan_backbone(folded, 8)["blocks"]
+    assert p8["layer1_0"]["form"] == "smm" and p8["layer1_0"]["s"] == 2
+    p32 = _plan_backbone(folded, 32)["blocks"]
+    assert p32["layer1_0"]["form"] == "conv" and p32["layer1_0"]["s"] == 8
+    assert p32["layer2_0"]["form"] == "conv"  # 8x8 input extent
+    assert p32["layer2_1"]["form"] == "smm"   # 4x4, group 2
+
+
+@pytest.mark.parametrize("size", [16, 8])
+def test_hybrid_lowering_matches_im2col(stage1, size):
+    """The hybrid (conv+SMM) lowering and the legacy im2col lowering
+    quantize the same sites to near-identical logits: same scales
+    semantics, different execution strategy."""
+    model = Stage1Model()
+    variables = init_on_cpu(
+        model, jax.random.PRNGKey(5),
+        jnp.zeros((2, size, size, 1), jnp.float32),
+    )
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(
+        rng.integers(0, 1024, (24, size, size, 1)), jnp.float32) / 1023.0
+    q_hy = quantize_stage(variables, x[:16], lowering="hybrid")
+    q_im = quantize_stage(variables, x[:16], lowering="im2col")
+    ref = np.asarray(q_hy.float_forward(x))
+    got_hy = np.asarray(jax.jit(lambda t: q_hy(t))(x))
+    got_im = np.asarray(jax.jit(lambda t: q_im(t))(x))
+    scale = max(np.abs(ref).max(), 0.1)
+    # both lowerings are per-site-calibrated int8 of the same float graph:
+    # each must be close to float, hence to each other
+    assert np.abs(got_hy - ref).mean() < 0.08 * scale
+    assert np.abs(got_hy - got_im).mean() < 0.08 * scale
