@@ -41,10 +41,17 @@ from av1tpu.quant.ptq import (
 
 
 def _folded_stage_fn(
-    variables, float_dtype, use_pallas_groups: bool, interpret: bool
+    variables, float_dtype, use_pallas_groups: bool, interpret: bool,
+    use_fused_front: bool = False,
 ):
     """(x)->logits functional forward for one stage: folded backbone (+
-    optional Pallas group kernel) + dense head stack."""
+    optional Pallas kernels) + dense head stack.
+
+    ``use_fused_front`` swaps stem+maxpool for the Pallas fused front
+    kernel (``kernels.fused_front`` — bit-identical, measured ~1.3x on
+    the v5e). Built lazily per input extent at trace time; extents the
+    kernel doesn't support (>16px) silently use the XLA front.
+    """
     folded = fold_backbone(variables)
     head = fold_head(variables)
     group12_fn = None
@@ -56,9 +63,25 @@ def _folded_stage_fn(
             x, weights, interpret=interpret
         )
 
+    fronts = {}
+
+    def front_for(hw: int):
+        from av1tpu.kernels.fused_front import make_fused_front, supports_extent
+
+        if not supports_extent(hw):
+            return None
+        if hw not in fronts:
+            fronts[hw] = make_fused_front(
+                folded["stem"]["kernel"], folded["stem"]["bias"], hw,
+                float_dtype=float_dtype, interpret=interpret,
+            )
+        return fronts[hw]
+
     def forward(x):
+        front_fn = front_for(int(x.shape[1])) if use_fused_front else None
         feats = _backbone_apply(
-            folded, x, float_dtype=float_dtype, group12_fn=group12_fn
+            folded, x, float_dtype=float_dtype, group12_fn=group12_fn,
+            front_fn=front_fn,
         )
         return _head_apply(head, feats, float_dtype=float_dtype)
 
@@ -73,6 +96,7 @@ def make_v6_pipeline_folded(
     use_pallas_groups: bool = False,
     interpret: bool = False,
     mesh=None,
+    use_fused_front: bool = False,
 ):
     """Fused v6 pipeline over BN-folded weights (fastest serving path).
 
@@ -80,20 +104,27 @@ def make_v6_pipeline_folded(
     structure) falls back to its flax ``apply`` inside the same graph.
     ``use_pallas_groups`` swaps in the layer-group mega-kernel — measured
     22x SLOWER on the v5e (see module docstring); off by default.
-    ``interpret=True`` runs that kernel in interpreter mode (CPU tests).
+    ``use_fused_front`` swaps stem+maxpool for the fused front kernel —
+    bit-identical and measured FASTER (docs/PARITY.md §fused front).
+    ``interpret=True`` runs the Pallas kernels in interpreter mode (CPU
+    tests).
     """
     f1 = _folded_stage_fn(
-        models.stage1_vars, float_dtype, use_pallas_groups, interpret
+        models.stage1_vars, float_dtype, use_pallas_groups, interpret,
+        use_fused_front,
     )
     f2 = _folded_stage_fn(
-        models.stage2_vars, float_dtype, use_pallas_groups, interpret
+        models.stage2_vars, float_dtype, use_pallas_groups, interpret,
+        use_fused_front,
     )
     f3r = _folded_stage_fn(
-        models.stage3_rect_vars, float_dtype, use_pallas_groups, interpret
+        models.stage3_rect_vars, float_dtype, use_pallas_groups, interpret,
+        use_fused_front,
     )
     if is_plain_stage(models.stage3_ab_vars):
         f3a = _folded_stage_fn(
-            models.stage3_ab_vars, float_dtype, use_pallas_groups, interpret
+            models.stage3_ab_vars, float_dtype, use_pallas_groups, interpret,
+            use_fused_front,
         )
     else:  # FGVC head layout: flax apply inside the same graph
         f3a = lambda x: models.stage3_ab.apply(  # noqa: E731

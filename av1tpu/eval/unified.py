@@ -105,6 +105,8 @@ def make_unified_pipeline_folded(
     norm_scale: float = NORM_10BIT,
     float_dtype=jnp.bfloat16,
     mesh=None,
+    use_fused_front: bool = False,
+    interpret: bool = False,
 ):
     """BN-folded unified pipeline (fastest unified serving path).
 
@@ -113,7 +115,8 @@ def make_unified_pipeline_folded(
     ``backbone`` submodule layout as the per-stage models) and extracts
     the four head dense stacks; serving is one folded backbone forward +
     four matmul stacks. Same routing/output contract as
-    :func:`make_unified_pipeline`.
+    :func:`make_unified_pipeline`. ``use_fused_front`` swaps stem+maxpool
+    for the Pallas fused front kernel (bit-identical, 8/16px extents).
     """
     from av1tpu.quant.ptq import (
         _backbone_apply,
@@ -128,10 +131,27 @@ def make_unified_pipeline_folded(
         for name in ("stage1", "stage2", "rect", "ab")
     }
 
+    fronts: Dict[int, object] = {}
+
+    def front_for(hw: int):
+        from av1tpu.kernels.fused_front import make_fused_front, supports_extent
+
+        if not supports_extent(hw):
+            return None
+        if hw not in fronts:
+            fronts[hw] = make_fused_front(
+                folded["stem"]["kernel"], folded["stem"]["bias"], hw,
+                float_dtype=float_dtype, interpret=interpret,
+            )
+        return fronts[hw]
+
     def predict(images) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         x = x.astype(float_dtype)
-        feats = _backbone_apply(folded, x, float_dtype=float_dtype)
+        front_fn = front_for(int(x.shape[1])) if use_fused_front else None
+        feats = _backbone_apply(
+            folded, x, float_dtype=float_dtype, front_fn=front_fn
+        )
         logits = jnp.concatenate(
             [
                 _head_apply(heads[n], feats, float_dtype=float_dtype).astype(

@@ -2,6 +2,7 @@
 from av1tpu.quant.ptq import (
     QuantStageModel,
     QuantUnifiedModel,
+    attach_fused_front,
     calibrate,
     fold_backbone,
     fold_head,
@@ -14,6 +15,7 @@ from av1tpu.quant.ptq import (
 __all__ = [
     "QuantStageModel",
     "QuantUnifiedModel",
+    "attach_fused_front",
     "calibrate",
     "fold_backbone",
     "fold_head",

@@ -397,6 +397,7 @@ def _backbone_apply_hybrid(
     float_dtype=jnp.float32,
     qbias: Optional[Dict] = None,
     captured: Optional[Dict] = None,
+    front_fn=None,
 ):
     """The hybrid-lowered backbone forward (observe- / quantize-mode).
 
@@ -406,7 +407,9 @@ def _backbone_apply_hybrid(
     EXACT tensors the quantized graph will see (flat for SMM sites), so
     calibration scales and bias corrections line up by construction.
     Stem, SE gates, spatial attention and GAP stay float, as in the
-    legacy lowering.
+    legacy lowering; ``front_fn`` swaps in the fused stem+maxpool kernel
+    (``kernels.fused_front``) — bit-identical, so the calibrated scales
+    transfer.
     """
     quant = qw is not None
     nb = x.shape[0]
@@ -470,13 +473,16 @@ def _backbone_apply_hybrid(
         ).astype(y.dtype)
 
     x = x.astype(float_dtype)
-    stem = folded["stem"]
-    x = jax.lax.conv_general_dilated(
-        x, stem["kernel"].astype(float_dtype), (2, 2), [(3, 3), (3, 3)],
-        dimension_numbers=_DIMNUMS,
-    )
-    x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
-    x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    if front_fn is not None:
+        x = front_fn(x)
+    else:
+        stem = folded["stem"]
+        x = jax.lax.conv_general_dilated(
+            x, stem["kernel"].astype(float_dtype), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=_DIMNUMS,
+        )
+        x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
+        x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
     flat = False
     for gi, gname in enumerate(_GROUPS, start=1):
@@ -555,6 +561,7 @@ def _backbone_apply(
     group12_fn=None,
     qbias: Optional[Dict] = None,
     captured: Optional[Dict] = None,
+    front_fn=None,
 ):
     """ImprovedBackbone inference forward over folded weights.
 
@@ -568,6 +575,9 @@ def _backbone_apply(
     ``group12_fn`` (float serving path only): a fused replacement for the
     layer1+SE1+layer2+SE2 subgraph — e.g. the Pallas mega-kernel
     ``kernels.resnet_group.fused_group12`` — applied post-maxpool.
+    ``front_fn``: a fused replacement for stem+bias+relu+maxpool — e.g.
+    ``kernels.fused_front.make_fused_front`` — taking the normalized
+    NHWC input and returning the post-maxpool activation.
     """
     quant = qw is not None
 
@@ -612,16 +622,19 @@ def _backbone_apply(
 
     x = x.astype(float_dtype)
     # Stem (float): 7x7/2 conv on 1 channel + folded-BN bias + relu + maxpool.
-    stem = folded["stem"]
-    x = jax.lax.conv_general_dilated(
-        x,
-        stem["kernel"].astype(float_dtype),
-        (2, 2),
-        [(3, 3), (3, 3)],
-        dimension_numbers=_DIMNUMS,
-    )
-    x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
-    x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    if front_fn is not None:
+        x = front_fn(x)
+    else:
+        stem = folded["stem"]
+        x = jax.lax.conv_general_dilated(
+            x,
+            stem["kernel"].astype(float_dtype),
+            (2, 2),
+            [(3, 3), (3, 3)],
+            dimension_numbers=_DIMNUMS,
+        )
+        x = jnp.maximum(x + stem["bias"].astype(float_dtype), 0)
+        x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
     groups = list(enumerate(_GROUPS, start=1))
     if group12_fn is not None and not quant and observed is None:
@@ -729,12 +742,14 @@ class QuantStageModel:
     float_dtype: Any = jnp.float32
     qbias: Optional[Dict[str, jnp.ndarray]] = None
     plan: Optional[Dict] = None
+    front_fn: Optional[Any] = None
 
     def __call__(self, x):
         if self.plan is not None:
             feats = _backbone_apply_hybrid(
                 self.folded, x, self.plan, self.scales, self.qw,
                 float_dtype=self.float_dtype, qbias=self.qbias,
+                front_fn=self.front_fn,
             )
         else:
             feats = _backbone_apply(
@@ -744,6 +759,7 @@ class QuantStageModel:
                 self.qw,
                 float_dtype=self.float_dtype,
                 qbias=self.qbias,
+                front_fn=self.front_fn,
             )
         return _head_apply(
             self.head,
@@ -1023,6 +1039,7 @@ class QuantUnifiedModel:
     float_dtype: Any = jnp.float32
     qbias: Optional[Dict[str, jnp.ndarray]] = None
     plan: Optional[Dict] = None
+    front_fn: Optional[Any] = None
 
     def _forward(self, x, quant: bool):
         scales = self.scales if quant else None
@@ -1032,11 +1049,12 @@ class QuantUnifiedModel:
         if quant and self.plan is not None:
             feats = _backbone_apply_hybrid(
                 self.folded, x, self.plan, scales, qw, float_dtype=fd,
-                qbias=qbias,
+                qbias=qbias, front_fn=self.front_fn if quant else None,
             )
         else:
             feats = _backbone_apply(
-                self.folded, x, scales, qw, float_dtype=fd, qbias=qbias
+                self.folded, x, scales, qw, float_dtype=fd, qbias=qbias,
+                front_fn=self.front_fn if quant else None,
             )
         return jnp.concatenate(
             [
@@ -1095,6 +1113,24 @@ def quantize_unified(
 # ---------------------------------------------------------------------------
 
 
+def attach_fused_front(
+    q, hw: int, float_dtype=jnp.bfloat16, tile: int = 128,
+    interpret: bool = False,
+):
+    """Swap a quantized (or folded) model's stem+maxpool for the Pallas
+    fused front kernel (``kernels.fused_front`` — bit-identical, ~1.3x).
+    No-op (returns False) when the extent is unsupported."""
+    from av1tpu.kernels.fused_front import make_fused_front, supports_extent
+
+    if not supports_extent(hw):
+        return False
+    q.front_fn = make_fused_front(
+        q.folded["stem"]["kernel"], q.folded["stem"]["bias"], hw,
+        float_dtype=float_dtype, tile=tile, interpret=interpret,
+    )
+    return True
+
+
 def make_v6_pipeline_int8(
     models,
     calib_images,
@@ -1102,6 +1138,8 @@ def make_v6_pipeline_int8(
     norm_scale: float = NORM_10BIT,
     float_dtype=jnp.float32,
     mesh=None,
+    use_fused_front: bool = False,
+    interpret: bool = False,
 ):
     """int8 twin of :func:`av1tpu.eval.make_v6_pipeline`.
 
@@ -1114,6 +1152,12 @@ def make_v6_pipeline_int8(
     backbone+MLPHead structure (``Stage3ABModel``); an FGVC AB model
     (BN-projection + cosine classifier) stays float inside the same fused
     graph — a mixed-precision pipeline, still one jit.
+
+    ``use_fused_front`` swaps each quantized stage's stem+maxpool for the
+    Pallas fused front kernel (bit-identical; 8/16px extents only —
+    silently kept off otherwise). Requires ``mesh=None`` or a shard_map
+    caller: pallas_call has no GSPMD rule, so with a mesh the predict is
+    wrapped in shard_map over the data axis like the folded pipeline.
     """
     from av1tpu.eval.hierarchy import _jit_with_mesh, assemble_v6_predict
 
@@ -1128,10 +1172,38 @@ def make_v6_pipeline_int8(
             models.stage3_ab_vars, x, train=False
         )
 
+    has_pallas = False
+    if use_fused_front:
+        hw = int(calib_images.shape[1])
+        for q in (q1, q2, q3r, ab_logits_fn):
+            if isinstance(q, QuantStageModel):
+                has_pallas |= attach_fused_front(
+                    q, hw, float_dtype, interpret=interpret
+                )
+
     predict = assemble_v6_predict(
         q1, q2, q3r, ab_logits_fn, stage1_threshold, norm_scale
     )
+    if mesh is not None and has_pallas:
+        return _shard_map_predict(predict, mesh)
     return _jit_with_mesh(predict, mesh)
+
+
+def _shard_map_predict(predict, mesh):
+    """shard_map the whole per-sample predict over the data axis (the
+    pallas_call path — no GSPMD partitioning rule; weights replicate)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from av1tpu.parallel.mesh import DATA_AXIS
+
+    spec = P(DATA_AXIS)
+    return jax.jit(
+        shard_map(
+            predict, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_rep=False,
+        )
+    )
 
 
 def make_unified_pipeline_int8(
@@ -1141,6 +1213,8 @@ def make_unified_pipeline_int8(
     norm_scale: float = NORM_10BIT,
     float_dtype=jnp.float32,
     mesh=None,
+    use_fused_front: bool = False,
+    interpret: bool = False,
 ):
     """int8 twin of :func:`av1tpu.eval.make_unified_pipeline_folded`.
 
@@ -1149,24 +1223,35 @@ def make_unified_pipeline_int8(
     ``predict(images_u16) -> dict`` with the ``make_v6_pipeline`` output
     contract and routing. The int8 cuts compound with the unified
     family's ~4x backbone cut: one int8 trunk forward serves all four
-    stage decisions.
+    stage decisions. ``use_fused_front`` as in
+    :func:`make_v6_pipeline_int8`.
     """
     from av1tpu.eval.hierarchy import _jit_with_mesh
     from av1tpu.eval.unified import _route_from_unified
 
     calib_x = calib_images.astype(jnp.float32) / norm_scale
     q = quantize_unified(variables, calib_x, float_dtype)
+    has_pallas = False
+    if use_fused_front:
+        has_pallas = attach_fused_front(
+            q, int(calib_images.shape[1]), float_dtype, interpret=interpret
+        )
 
     def predict(images):
         x = images.astype(jnp.float32) / norm_scale
         return _route_from_unified(q(x), stage1_threshold)
 
+    if mesh is not None and has_pallas:
+        return _shard_map_predict(predict, mesh)
     return _jit_with_mesh(predict, mesh)
 
 
 __all__ = [
     "QuantStageModel",
     "QuantUnifiedModel",
+    "attach_fused_front",
+    "build_smm_matrix",
+    "build_smm_matrix_1x1",
     "is_plain_stage",
     "calibrate",
     "fold_backbone",

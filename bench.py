@@ -243,9 +243,23 @@ def bench_tpu() -> dict:
         UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
         jnp.zeros((2, 16, 16, 1), jnp.float32),
     )
-    predict_uni = make_unified_pipeline_folded(
-        uni_vars, stage1_threshold=0.45, float_dtype=dtype
-    )
+    # fused front kernel: measured +7.8% on the unified pipeline (and
+    # bit-identical); guarded so a Pallas/Mosaic regression can never
+    # kill the driver bench — fall back to the XLA front.
+    try:
+        predict_uni = make_unified_pipeline_folded(
+            uni_vars, stage1_threshold=0.45, float_dtype=dtype,
+            use_fused_front=True,
+        )
+        jax.block_until_ready(
+            predict_uni(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
+        )
+        uni_front = "pallas_fused"
+    except Exception:
+        predict_uni = make_unified_pipeline_folded(
+            uni_vars, stage1_threshold=0.45, float_dtype=dtype
+        )
+        uni_front = "xla_fallback"
     best = None
     for batch in (BATCH, 4 * BATCH):
         thr_u, fps_u, mfu_u = _time_predict(predict_uni, batch, 16, iters=20)
@@ -256,6 +270,7 @@ def bench_tpu() -> dict:
         "mfu": round(best[1], 4) if best[1] else None,
         "batch": best[2],
         "vs_folded_headline": round(best[0] / headline, 2),
+        "front": uni_front,
     }
 
     _progress("unified int8 pipeline (16px, hybrid lowering)")
@@ -264,9 +279,18 @@ def bench_tpu() -> dict:
     # measured 16px stage1-3 formulation on this chip
     from av1tpu.quant import make_unified_pipeline_int8
 
-    predict_uni_i8 = make_unified_pipeline_int8(
-        uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype
-    )
+    try:
+        predict_uni_i8 = make_unified_pipeline_int8(
+            uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype,
+            use_fused_front=True,
+        )
+        jax.block_until_ready(
+            predict_uni_i8(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
+        )
+    except Exception:
+        predict_uni_i8 = make_unified_pipeline_int8(
+            uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype
+        )
     thr_ui, _, _ = _time_predict(
         predict_uni_i8, results["unified"]["batch"], 16, iters=20
     )

@@ -409,3 +409,70 @@ def test_hybrid_lowering_matches_im2col(stage1, size):
     # each must be close to float, hence to each other
     assert np.abs(got_hy - ref).mean() < 0.08 * scale
     assert np.abs(got_hy - got_im).mean() < 0.08 * scale
+
+
+@pytest.mark.parametrize("size", [16, 8])
+def test_fused_front_matches_xla_front(stage1, size):
+    """The Pallas fused front kernel (stem matmul + in-kernel maxpool)
+    reproduces the XLA stem+bias+relu+maxpool composition exactly
+    (interpret mode on CPU)."""
+    from flax import linen as fnn
+
+    from av1tpu.kernels.fused_front import make_fused_front
+
+    model = Stage1Model()
+    variables = init_on_cpu(
+        model, jax.random.PRNGKey(2),
+        jnp.zeros((2, size, size, 1), jnp.float32),
+    )
+    folded = fold_backbone(variables)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(
+        rng.integers(0, 1024, (20, size, size, 1)), jnp.float32) / 1023.0
+
+    y = jax.lax.conv_general_dilated(
+        x, folded["stem"]["kernel"], (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jnp.maximum(y + folded["stem"]["bias"], 0)
+    want = fnn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    front = make_fused_front(
+        folded["stem"]["kernel"], folded["stem"]["bias"], size,
+        float_dtype=jnp.float32, tile=16, interpret=True,
+    )
+    got = front(x)  # batch 20 also exercises the pad-to-tile path
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_front_pipeline_agreement(v6_models, images):
+    """Folded and int8 pipelines with use_fused_front=True reproduce their
+    XLA-front twins (same weights, same scales; the front is exact)."""
+    from av1tpu.eval import make_v6_pipeline_folded
+
+    base = make_v6_pipeline_folded(
+        v6_models, stage1_threshold=0.45, float_dtype=jnp.float32
+    )
+    fused = make_v6_pipeline_folded(
+        v6_models, stage1_threshold=0.45, float_dtype=jnp.float32,
+        use_fused_front=True, interpret=True,
+    )
+    a = {k: np.asarray(v) for k, v in base(jnp.asarray(images)).items()}
+    b = {k: np.asarray(v) for k, v in fused(jnp.asarray(images)).items()}
+    np.testing.assert_allclose(b["stage1_prob"], a["stage1_prob"], atol=1e-5)
+    np.testing.assert_array_equal(b["final"], a["final"])
+
+    base_q = make_v6_pipeline_int8(v6_models, images[:16], stage1_threshold=0.45)
+    fused_q = make_v6_pipeline_int8(
+        v6_models, images[:16], stage1_threshold=0.45,
+        use_fused_front=True, interpret=True,
+    )
+    aq = {k: np.asarray(v) for k, v in base_q(jnp.asarray(images)).items()}
+    bq = {k: np.asarray(v) for k, v in fused_q(jnp.asarray(images)).items()}
+    np.testing.assert_allclose(
+        bq["stage1_prob"], aq["stage1_prob"], atol=1e-4
+    )
+    assert (bq["final"] == aq["final"]).mean() >= 0.95
