@@ -289,22 +289,30 @@ def build_smm_matrix(kernel, h: int, w: int, stride: int) -> np.ndarray:
     """Dense (h*w*Ci, ho*wo*Co) matrix equal to a SAME 3x3 conv at extent
     (h, w): ``conv(x, kernel) == (x.reshape(B,-1) @ M).reshape(B,ho,wo,Co)``.
 
-    Padding matches XLA SAME semantics (same convention as
-    :func:`_patches3x3`): stride 1 pads (1,1); stride 2 on even extents
-    pads (0,1) — the window for output ``o`` starts at input row ``2*o``.
+    Padding matches XLA SAME semantics for ANY extent/stride:
+    ``pad_low = max((ho-1)*stride + kh - h, 0) // 2`` — stride 1 pads
+    (1,1); stride 2 on even extents pads (0,1) (window for output ``o``
+    starts at row ``2*o``); stride 2 at the 1x1 extent pads (1,1), so the
+    single output reads the CENTER tap (k[1,1]), same as the
+    center-tap collapse in :func:`_qconv3x3`. (An earlier version used
+    the even-extent convention everywhere and silently read k[0,0] at
+    1x1/stride-2 — the layer4_0 site of every 16px/8px plan — which the
+    even-extent-only golden test missed; caught by trained-checkpoint
+    certification.)
     """
     k = np.asarray(kernel, np.float32)
     kh, kw, ci, co = k.shape
     ho, wo = -(-h // stride), -(-w // stride)
     m = np.zeros((h * w * ci, ho * wo * co), np.float32)
-    pad = (kh - 1) // 2 if stride == 1 else 0
+    pad_y = max((ho - 1) * stride + kh - h, 0) // 2
+    pad_x = max((wo - 1) * stride + kw - w, 0) // 2
     for oy in range(ho):
         for ox in range(wo):
             dst = (oy * wo + ox) * co
             for dy in range(kh):
                 for dx in range(kw):
-                    iy = oy * stride + dy - pad
-                    ix = ox * stride + dx - pad
+                    iy = oy * stride + dy - pad_y
+                    ix = ox * stride + dx - pad_x
                     if 0 <= iy < h and 0 <= ix < w:
                         src = (iy * w + ix) * ci
                         m[src:src + ci, dst:dst + co] = k[dy, dx]

@@ -337,7 +337,11 @@ def test_smm_matrix_matches_conv_exactly():
     from av1tpu.quant.ptq import build_smm_matrix, build_smm_matrix_1x1
 
     rng = np.random.default_rng(3)
-    for h, stride in ((4, 1), (4, 2), (2, 1), (2, 2)):
+    # (1, 2) is the layer4_0 site of every 16/8px plan: stride-2 SAME at
+    # the 1x1 extent pads (1,1) and must read the CENTER tap — a
+    # convention bug here cost 9pp macro-F1 on trained checkpoints before
+    # this case was added.
+    for h, stride in ((4, 1), (4, 2), (2, 1), (2, 2), (1, 1), (1, 2)):
         x = jnp.asarray(rng.normal(0, 1, (8, h, h, 16)), jnp.float32)
         k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 16, 24)), jnp.float32)
         want = jax.lax.conv_general_dilated(
