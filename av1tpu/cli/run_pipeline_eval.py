@@ -135,6 +135,20 @@ def build_unified(args, dtype, mesh=None):
     variables = load_model_variables(args.unified_checkpoint)
     if args.tta_align_ab and not args.tta:
         raise SystemExit("--tta-align-ab requires --tta")
+    if args.int8:
+        if args.tta or args.folded:
+            raise SystemExit(
+                "--int8 is a distinct serving path (no --tta/--folded)"
+            )
+        from av1tpu.quant import make_unified_pipeline_int8
+
+        if args.calib_images is None:
+            raise SystemExit("--int8 requires calibration images (internal)")
+        return make_unified_pipeline_int8(
+            variables, args.calib_images,
+            stage1_threshold=args.stage1_threshold, float_dtype=dtype,
+            mesh=mesh,
+        )
     if args.folded:
         if args.tta:
             raise SystemExit("--folded is incompatible with --tta")
@@ -243,8 +257,6 @@ def main(argv=None) -> None:
         if args.capacity is not None:
             parser.error("--capacity is only supported with --variant v6")
     if args.variant == "unified":
-        if args.int8:
-            parser.error("--int8 is not supported with --variant unified")
         if args.capacity is not None:
             parser.error("--capacity is only supported with --variant v6")
 

@@ -640,7 +640,9 @@ def test_unified_eval_cli_fast(workspace, v6_dataset, tmp_path):
         ckpt, {"params": v["params"], "batch_stats": v["batch_stats"]}
     )
     finals = {}
-    for name, extra in (("flax", []), ("folded", ["--folded"])):
+    for name, extra in (
+        ("flax", []), ("folded", ["--folded"]), ("int8", ["--int8"]),
+    ):
         out = tmp_path / name
         run_pipeline_eval.main([
             "--variant", "unified",
@@ -656,16 +658,18 @@ def test_unified_eval_cli_fast(workspace, v6_dataset, tmp_path):
         finals[name] = np.load(
             out / "pipeline_predictions_val.npz"
         )["predictions"]
-    # the folded unified graph agrees with the flax one (float32 both)
+    # the folded unified graph agrees with the flax one (float32 both);
+    # the int8 graph is a quantization of the same weights
     assert (finals["flax"] == finals["folded"]).mean() >= 0.95
+    assert (finals["flax"] == finals["int8"]).mean() >= 0.80
 
-    # int8 is explicitly rejected for the unified variant
+    # int8 composes with neither --folded nor --tta (distinct paths)
     with pytest.raises(SystemExit):
         run_pipeline_eval.main([
             "--variant", "unified",
             "--dataset-dir", str(v6_dataset), "--block-size", "16",
             "--output-dir", str(tmp_path / "bad"),
-            "--unified-checkpoint", str(ckpt), "--int8",
+            "--unified-checkpoint", str(ckpt), "--int8", "--folded",
         ])
 
     # threshold + temperature calibration of the unified stage-1 head
