@@ -49,7 +49,7 @@ CKPT_NAMES = {
 def build_level_predictor(
     model_dir: Path, threshold: float, dtype, ab_fgvc: bool, mesh=None,
     folded: bool = False, tta: bool = False, tta_align_ab: bool = False,
-    unified: bool = False,
+    unified: bool = False, int8_calib=None,
 ):
     if unified:
         # single-backbone family (models.UnifiedV6Model): one checkpoint
@@ -64,6 +64,13 @@ def build_level_predictor(
         variables = load_model_variables(
             model_dir / "unified_best_variables.npz"
         )
+        if int8_calib is not None:
+            from av1tpu.quant import make_unified_pipeline_int8
+
+            return make_unified_pipeline_int8(
+                variables, int8_calib, stage1_threshold=threshold,
+                float_dtype=dtype, mesh=mesh,
+            )
         if folded:
             return make_unified_pipeline_folded(
                 variables, stage1_threshold=threshold, float_dtype=dtype,
@@ -93,6 +100,13 @@ def build_level_predictor(
         loaded["stage3_rect"][0], loaded["stage3_rect"][1],
         ab_cls(dtype=dtype), ab_vars,
     )
+    if int8_calib is not None:
+        from av1tpu.quant import make_v6_pipeline_int8
+
+        return make_v6_pipeline_int8(
+            models, int8_calib, stage1_threshold=threshold,
+            float_dtype=dtype, mesh=mesh,
+        )
     if folded:
         from av1tpu.eval import make_v6_pipeline_folded
 
@@ -188,6 +202,19 @@ def main(argv=None) -> None:
                         "per-stage checkpoints — ~1/4 the backbone FLOPs "
                         "per block; composes with --folded/--tta/"
                         "--level-capacity")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve each level through the int8 PTQ graph "
+                        "(quant.ptq hybrid lowering — direct int8 convs + "
+                        "spatial-matmul tail; 1.15-1.2x the folded bf16 "
+                        "cascade, 3.6x with --unified, on a v5e). "
+                        "Calibration is self-serve: activation scales come "
+                        "from the first requested frame's own blocks at "
+                        "each level size. Incompatible with --folded/--tta "
+                        "(int8 is its own folded graph); an FGVC AB "
+                        "checkpoint stays float inside the graph")
+    parser.add_argument("--int8-calib-blocks", type=int, default=256,
+                        help="with --int8: max calibration blocks sampled "
+                        "per level size from the first frame")
     parser.add_argument("--folded", action="store_true",
                         help="serve each level through the BN-folded graph "
                         "(eval.folded, the bench-headline formulation — "
@@ -211,6 +238,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.tta and args.folded:
         parser.error("--tta is incompatible with --folded")
+    if args.int8 and (args.tta or args.folded):
+        parser.error("--int8 is a distinct serving path (no --tta/--folded)")
     if args.tta_align_ab and not args.tta:
         parser.error("--tta-align-ab requires --tta")
     tta_align_ab = args.tta and args.tta_align_ab is not False
@@ -234,11 +263,36 @@ def main(argv=None) -> None:
         thresholds = normalize_thresholds(args.stage1_threshold)
     except ValueError as e:
         parser.error(str(e))
+    calib_by_size = {size: None for size in (64, 32, 16, 8)}
+    if args.int8:
+        # self-serve calibration: the int8 hybrid lowering bakes per-site
+        # activation scales (and extent-specific SMM matrices), so each
+        # level calibrates on a sample of the input video's OWN blocks at
+        # that size — no separate calibration dataset to ship
+        from av1tpu.ingest.tiler import tile_frame as _tile_for_calib
+
+        sbs0, _ = _tile_for_calib(
+            read_y_frame(args.yuv, args.frames[0], geom), 64
+        )
+        calib_rng = np.random.default_rng(0)
+        for size in (64, 32, 16, 8):
+            f = 64 // size
+            blocks = (
+                sbs0.reshape(-1, f, size, f, size)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(-1, size, size)
+            )
+            k = min(max(1, args.int8_calib_blocks), blocks.shape[0])
+            idx = calib_rng.choice(blocks.shape[0], size=k, replace=False)
+            calib_by_size[size] = jnp.asarray(
+                blocks[np.sort(idx)][..., None], dtype=jnp.uint16
+            )
     predictors = {
         size: build_level_predictor(
             getattr(args, f"models_{size}"), threshold, dtype,
             args.ab_fgvc, mesh=mesh, folded=args.folded,
             tta=args.tta, tta_align_ab=tta_align_ab, unified=args.unified,
+            int8_calib=calib_by_size[size],
         )
         for size, threshold in zip((64, 32, 16, 8), thresholds)
     }

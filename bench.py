@@ -72,6 +72,24 @@ def _build_models(dtype):
     return PipelineModels(s1, s1v, s2, s2v, s3r, s3rv, s3a, s3av)
 
 
+def _aot_or_jit(fn, *args):
+    """AOT-compile ``fn`` for ``args`` and validate the executable with one
+    real call; return (runnable, compiled_or_None). The compiled object is
+    an optimization (and the cost_analysis source) only — graphs whose
+    closed-over weights the backend keeps as executable parameters raise
+    at call time ("Computation compiled for N inputs but called with 1",
+    axon + Pallas fused front, 2026-08-19), and the jitted callable is the
+    correct fallback."""
+    import jax
+
+    try:
+        compiled = fn.lower(*args).compile()
+        jax.block_until_ready(compiled(*args))
+        return compiled, compiled
+    except Exception:
+        return fn, None
+
+
 def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
     import jax
     import jax.numpy as jnp
@@ -82,13 +100,8 @@ def _time_predict(predict, batch, block_px, iters=TIMED_ITERS):
     )
     # AOT-compile once and time the compiled executable; reusing the same
     # object for cost_analysis avoids a second full XLA compile per
-    # section (compile dominates bench wall on a 1-CPU host)
-    compiled = None
-    try:
-        compiled = predict.lower(images).compile()
-    except Exception:
-        pass
-    run = compiled if compiled is not None else predict
+    # section (compile dominates bench wall on a 1-CPU host).
+    run, compiled = _aot_or_jit(predict, images)
     for _ in range(WARMUP_ITERS):
         out = run(images)
     jax.block_until_ready(out["final"])
@@ -210,24 +223,34 @@ def bench_tpu() -> dict:
     thr_gated, _, _ = _time_predict(gated, BATCH, 16, iters=50)
     results["gated_capacity_0.5"] = round(thr_gated, 1)
 
-    _progress("int8 PTQ pipeline (16px)")
-    # measured artifact for the int8 serving path (equalized per-channel
-    # calibration + bias correction, quant/ptq.py) — replaces the stale
-    # prose-only round-2 figure
-    from av1tpu.quant import make_v6_pipeline_int8
-
+    # ---- beyond-reference serving sections -------------------------------
+    # Each is individually guarded: a failure in one records an "error"
+    # entry for that section and the bench continues, so the driver
+    # artifact always carries the headline + reference-parity figures
+    # even if an experimental path regresses (round-3 lesson, hit again
+    # 2026-08-19 when the unified section's AOT call raised mid-run).
     calib = jnp.asarray(
         np.random.default_rng(1).integers(0, 1024, size=(512, 16, 16, 1)),
         dtype=jnp.uint16,
     )
-    predict_int8 = make_v6_pipeline_int8(
-        models, calib, stage1_threshold=0.45, float_dtype=dtype
-    )
-    thr_int8, _, _ = _time_predict(predict_int8, BATCH, 16, iters=20)
-    results["int8"] = {
-        "throughput": round(thr_int8, 1),
-        "vs_folded_headline": round(thr_int8 / headline, 3),
-    }
+
+    _progress("int8 PTQ pipeline (16px, hybrid lowering)")
+    # measured artifact for the int8 serving path (equalized per-channel
+    # calibration + bias correction + hybrid direct-conv/SMM lowering,
+    # quant/ptq.py) — replaces the stale prose-only round-2 figure
+    try:
+        from av1tpu.quant import make_v6_pipeline_int8
+
+        predict_int8 = make_v6_pipeline_int8(
+            models, calib, stage1_threshold=0.45, float_dtype=dtype
+        )
+        thr_int8, _, _ = _time_predict(predict_int8, BATCH, 16, iters=20)
+        results["int8"] = {
+            "throughput": round(thr_int8, 1),
+            "vs_folded_headline": round(thr_int8 / headline, 3),
+        }
+    except Exception as exc:
+        results["int8"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     _progress("unified single-backbone pipeline (16px, folded)")
     # beyond-reference serving family (models.UnifiedV6Model + eval.unified):
@@ -235,80 +258,150 @@ def bench_tpu() -> dict:
     # FLOPs per block at an accuracy trade train_unified measures. Random
     # init — cost depends only on shapes. Two batches: with 1/4 the
     # per-sample work the dispatch/batch tradeoff shifts up like 8px did.
-    from av1tpu.eval import make_unified_pipeline_folded
-    from av1tpu.models import UnifiedV6Model
-    from av1tpu.utils.initialization import init_on_cpu
-
-    uni_vars = init_on_cpu(
-        UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
-        jnp.zeros((2, 16, 16, 1), jnp.float32),
-    )
-    # fused front kernel: measured +7.8% on the unified pipeline (and
-    # bit-identical); guarded so a Pallas/Mosaic regression can never
-    # kill the driver bench — fall back to the XLA front.
+    predict_uni = None
     try:
-        predict_uni = make_unified_pipeline_folded(
-            uni_vars, stage1_threshold=0.45, float_dtype=dtype,
-            use_fused_front=True,
+        from av1tpu.eval import make_unified_pipeline_folded
+        from av1tpu.models import UnifiedV6Model
+        from av1tpu.utils.initialization import init_on_cpu
+
+        uni_vars = init_on_cpu(
+            UnifiedV6Model(dtype=dtype), jax.random.PRNGKey(9),
+            jnp.zeros((2, 16, 16, 1), jnp.float32),
         )
-        jax.block_until_ready(
-            predict_uni(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
-        )
-        uni_front = "pallas_fused"
-    except Exception:
-        predict_uni = make_unified_pipeline_folded(
-            uni_vars, stage1_threshold=0.45, float_dtype=dtype
-        )
-        uni_front = "xla_fallback"
-    best = None
-    for batch in (BATCH, 4 * BATCH):
-        thr_u, fps_u, mfu_u = _time_predict(predict_uni, batch, 16, iters=20)
-        if best is None or thr_u > best[0]:
-            best = (thr_u, mfu_u, batch)
-    results["unified"] = {
-        "throughput": round(best[0], 1),
-        "mfu": round(best[1], 4) if best[1] else None,
-        "batch": best[2],
-        "vs_folded_headline": round(best[0] / headline, 2),
-        "front": uni_front,
-    }
+        # fused front kernel: measured +7.8% on the unified pipeline (and
+        # bit-identical); guarded so a Pallas/Mosaic regression can never
+        # kill the driver bench — fall back to the XLA front.
+        try:
+            predict_uni = make_unified_pipeline_folded(
+                uni_vars, stage1_threshold=0.45, float_dtype=dtype,
+                use_fused_front=True,
+            )
+            jax.block_until_ready(
+                predict_uni(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
+            )
+            uni_front = "pallas_fused"
+        except Exception:
+            predict_uni = make_unified_pipeline_folded(
+                uni_vars, stage1_threshold=0.45, float_dtype=dtype
+            )
+            uni_front = "xla_fallback"
+        best = None
+        for batch in (BATCH, 4 * BATCH):
+            thr_u, fps_u, mfu_u = _time_predict(
+                predict_uni, batch, 16, iters=20
+            )
+            if best is None or thr_u > best[0]:
+                best = (thr_u, mfu_u, batch)
+        results["unified"] = {
+            "throughput": round(best[0], 1),
+            "mfu": round(best[1], 4) if best[1] else None,
+            "batch": best[2],
+            "vs_folded_headline": round(best[0] / headline, 2),
+            "front": uni_front,
+        }
+    except Exception as exc:
+        results["unified"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     _progress("unified int8 pipeline (16px, hybrid lowering)")
     # the compound of both serving cuts: one shared trunk (unified) AND
     # the int8 hybrid lowering (quant/ptq.py SMM section) — the fastest
     # measured 16px stage1-3 formulation on this chip
-    from av1tpu.quant import make_unified_pipeline_int8
-
     try:
-        predict_uni_i8 = make_unified_pipeline_int8(
-            uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype,
-            use_fused_front=True,
-        )
-        jax.block_until_ready(
-            predict_uni_i8(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
-        )
-    except Exception:
-        predict_uni_i8 = make_unified_pipeline_int8(
-            uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype
-        )
-    thr_ui, _, _ = _time_predict(
-        predict_uni_i8, results["unified"]["batch"], 16, iters=20
-    )
-    results["unified_int8"] = {
-        "throughput": round(thr_ui, 1),
-        "vs_folded_headline": round(thr_ui / headline, 2),
-    }
+        from av1tpu.quant import make_unified_pipeline_int8
+
+        try:
+            predict_uni_i8 = make_unified_pipeline_int8(
+                uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype,
+                use_fused_front=True,
+            )
+            jax.block_until_ready(
+                predict_uni_i8(jnp.zeros((256, 16, 16, 1), jnp.uint16))["final"]
+            )
+        except Exception:
+            predict_uni_i8 = make_unified_pipeline_int8(
+                uni_vars, calib, stage1_threshold=0.45, float_dtype=dtype
+            )
+        uni_batch = results["unified"].get("batch", 4 * BATCH)
+        thr_ui, _, _ = _time_predict(predict_uni_i8, uni_batch, 16, iters=20)
+        results["unified_int8"] = {
+            "throughput": round(thr_ui, 1),
+            "vs_folded_headline": round(thr_ui / headline, 2),
+        }
+    except Exception as exc:
+        results["unified_int8"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     _progress("unified tree cascade (single-backbone levels)")
     # same composed 4-level graph as tree_cascade, every level served by
     # the folded unified predictor — where the 4x backbone cut compounds
-    results["tree_cascade_unified"] = bench_tree_cascade(
-        models, dtype, predict=predict_uni
-    )
-    results["tree_cascade_unified"]["vs_cascade"] = round(
-        results["tree_cascade_unified"]["trees_per_sec"]
-        / results["tree_cascade"]["trees_per_sec"], 2,
-    )
+    try:
+        if predict_uni is None:
+            raise RuntimeError("unified pipeline unavailable")
+        results["tree_cascade_unified"] = bench_tree_cascade(
+            models, dtype, predict=predict_uni
+        )
+        results["tree_cascade_unified"]["vs_cascade"] = round(
+            results["tree_cascade_unified"]["trees_per_sec"]
+            / results["tree_cascade"]["trees_per_sec"], 2,
+        )
+    except Exception as exc:
+        results["tree_cascade_unified"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
+
+    def _vs_cascade(entry):
+        base = results.get("tree_cascade", {}).get("trees_per_sec")
+        if base and "trees_per_sec" in entry:
+            entry["vs_cascade"] = round(entry["trees_per_sec"] / base, 2)
+        return entry
+
+    # per-size calibration sets: the int8 hybrid lowering is
+    # extent-specialized (SMM matrices + activation scales bake the
+    # spatial size), so each cascade level needs its own quantization
+    calib_by_size = {
+        s: jnp.asarray(
+            np.random.default_rng(1).integers(0, 1024, size=(256, s, s, 1)),
+            dtype=jnp.uint16,
+        )
+        for s in (64, 32, 16, 8)
+    }
+
+    _progress("int8 tree cascade (hybrid lowering, per-size quantization)")
+    # the int8 hybrid cut applied to the north-star composition: four
+    # int8 4-model pipelines, one per level extent
+    try:
+        from av1tpu.quant import make_v6_pipeline_int8 as _mk_i8
+
+        preds_i8 = {
+            s: _mk_i8(
+                models, c, stage1_threshold=0.45, float_dtype=dtype
+            )
+            for s, c in calib_by_size.items()
+        }
+        results["tree_cascade_int8"] = _vs_cascade(
+            bench_tree_cascade(models, dtype, predict_by_size=preds_i8)
+        )
+    except Exception as exc:
+        results["tree_cascade_int8"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    _progress("unified int8 tree cascade (compound of both serving cuts)")
+    # one shared int8 trunk per level — the fastest trees/s formulation
+    # this framework has (unified 4x FLOP cut x int8 hybrid speedup)
+    try:
+        from av1tpu.quant import make_unified_pipeline_int8 as _mk_ui8
+
+        preds_ui8 = {
+            s: _mk_ui8(
+                uni_vars, c, stage1_threshold=0.45, float_dtype=dtype
+            )
+            for s, c in calib_by_size.items()
+        }
+        results["tree_cascade_unified_int8"] = _vs_cascade(
+            bench_tree_cascade(models, dtype, predict_by_size=preds_ui8)
+        )
+    except Exception as exc:
+        results["tree_cascade_unified_int8"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
 
     _progress("device sections done")
     return results
@@ -316,6 +409,7 @@ def bench_tpu() -> dict:
 
 def bench_tree_cascade(
     models, dtype, n_superblocks: int = 512, iters: int = 20, predict=None,
+    predict_by_size=None,
 ):
     """The north-star composition graph: 64x64 superblocks resident in
     HBM -> on-device quad tiling -> the BN-folded v6 pipeline at every
@@ -338,16 +432,24 @@ def bench_tree_cascade(
     from av1tpu.eval import make_v6_pipeline_folded
     from av1tpu.eval.tree_infer import quad_tile_on_device
 
-    if predict is None:
+    if predict is None and predict_by_size is None:
         predict = make_v6_pipeline_folded(
             models, stage1_threshold=0.45, float_dtype=dtype
         )
     remap = jnp.asarray(V6_FINAL_TO_RAW)
 
     def make_level(size, nodes):
+        # predict_by_size: extent-specialized predictors (the int8 hybrid
+        # lowering bakes SMM matrices + activation scales per input size,
+        # so one predictor cannot serve all four levels like the folded
+        # float graph does)
+        level_predict = (
+            predict_by_size[size] if predict_by_size is not None else predict
+        )
+
         @jax.jit
         def level(sbs):
-            out = predict(quad_tile_on_device(sbs, size))
+            out = level_predict(quad_tile_on_device(sbs, size))
             return remap[out["final"]].reshape(sbs.shape[0], nodes)
 
         return level
@@ -361,11 +463,16 @@ def bench_tree_cascade(
     # AOT-compile each level ONCE and call the compiled executables —
     # the same objects serve execution and cost_analysis (a second
     # lower().compile() per level would double the section's compile
-    # time, which dominates this bench on a 1-CPU host)
+    # time, which dominates this bench on a 1-CPU host). Validated with
+    # a real call (_aot_or_jit): Pallas-containing predictors fall back
+    # to the jitted level on backends that reject the AOT call.
     levels = []
+    compiled_levels = []
     for size, nodes in zip(LEVEL_SIZES, NODES_PER_LEVEL):
         _progress(f"  compiling cascade level {size}px")
-        levels.append(make_level(size, nodes).lower(sbs).compile())
+        run, comp = _aot_or_jit(make_level(size, nodes), sbs)
+        levels.append(run)
+        compiled_levels.append(comp)
     assemble = jax.jit(assemble_trees)
 
     def cascade(sbs):
@@ -384,8 +491,8 @@ def bench_tree_cascade(
     mfu = None
     try:
         flops = 0.0
-        for level in levels:
-            cost = level.cost_analysis()
+        for level in compiled_levels:
+            cost = level.cost_analysis()  # None level -> AttributeError
             if isinstance(cost, list):
                 cost = cost[0]
             flops += float(cost.get("flops", 0.0))
@@ -467,9 +574,8 @@ def bench_tree_cascade_gated(
         ks.append(k)
         _progress(f"  compiling gated cascade level {size}px (K={k})")
         alive0 = jnp.ones((total,), bool)
-        levels.append(
-            make_level(size, nodes, k).lower(sbs, alive0).compile()
-        )
+        run, _comp = _aot_or_jit(make_level(size, nodes, k), sbs, alive0)
+        levels.append(run)
     assemble = jax.jit(assemble_trees)
 
     def cascade(sbs):
@@ -670,11 +776,14 @@ def main() -> None:
                 "per_block_px": results["per_block_px"],
                 "int8": results["int8"],
                 "unified": results["unified"],
+                "unified_int8": results["unified_int8"],
                 "gated_capacity_0.5": results["gated_capacity_0.5"],
                 "flax_graph": results["flax_graph"],
                 "tree_cascade": results["tree_cascade"],
                 "tree_cascade_gated": results["tree_cascade_gated"],
                 "tree_cascade_unified": results["tree_cascade_unified"],
+                "tree_cascade_int8": results["tree_cascade_int8"],
+                "tree_cascade_unified_int8": results["tree_cascade_unified_int8"],
             }
         )
     except BaseException as exc:  # emit the line no matter what

@@ -74,6 +74,47 @@ def test_main_emits_json_when_bench_raises(monkeypatch, capsys):
     assert "mid-run backend loss (test)" in payload["error"]
 
 
+def test_time_predict_falls_back_when_aot_call_raises():
+    """The AOT executable is an optimization only: if calling it raises
+    (observed 2026-08-19 on axon — the Pallas fused-front graph's
+    executable kept 72 weight parameters, so ``compiled(images)`` died
+    with "Computation compiled for 72 inputs but called with 1"),
+    _time_predict must fall back to the jitted callable instead of
+    propagating and killing the section."""
+    import jax.numpy as jnp
+
+    import bench
+
+    calls = {"predict": 0, "compiled": 0}
+
+    class BadCompiled:
+        def __call__(self, images):
+            calls["compiled"] += 1
+            raise TypeError(
+                "Computation compiled for 72 inputs but called with 1"
+            )
+
+        def cost_analysis(self):
+            return None
+
+    class Lowered:
+        def compile(self):
+            return BadCompiled()
+
+    class Predict:
+        def lower(self, images):
+            return Lowered()
+
+        def __call__(self, images):
+            calls["predict"] += 1
+            return {"final": jnp.zeros((images.shape[0],), jnp.int32)}
+
+    thr, flops, mfu = bench._time_predict(Predict(), batch=4, block_px=2, iters=2)
+    assert thr > 0
+    assert calls["compiled"] == 1  # tried once, rejected at call time
+    assert calls["predict"] >= 3  # warmup + timed iters ran on the fallback
+
+
 def test_probe_backend_bounds_a_hang(monkeypatch):
     import subprocess
 
@@ -131,6 +172,36 @@ def test_int8_section_runs(bench_models):
     )
     thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
     assert thr > 0
+
+
+@slow
+def test_int8_tree_cascade_section(bench_models):
+    """Per-size int8 hybrid predictors through the cascade composition:
+    the SMM plan is extent-specialized, so this exercises quantization at
+    all four level extents (64/32/16/8), not just the serving 16px."""
+    import jax.numpy as jnp
+
+    import bench
+    from av1tpu.quant import make_v6_pipeline_int8
+
+    models, dtype = bench_models
+    preds = {
+        s: make_v6_pipeline_int8(
+            models,
+            jnp.asarray(
+                np.random.default_rng(1).integers(0, 1024, size=(8, s, s, 1)),
+                dtype=jnp.uint16,
+            ),
+            stage1_threshold=0.45,
+            float_dtype=dtype,
+        )
+        for s in (64, 32, 16, 8)
+    }
+    result = bench.bench_tree_cascade(
+        models, dtype, n_superblocks=N_SUPERBLOCKS, iters=2,
+        predict_by_size=preds,
+    )
+    assert result["trees_per_sec"] > 0
 
 
 @slow

@@ -413,7 +413,7 @@ def test_predict_trees_tta_flag_wiring(monkeypatch):
 
     def fake_build(model_dir, threshold, dtype, ab_fgvc, mesh=None,
                    folded=False, tta=False, tta_align_ab=False,
-                   unified=False):
+                   unified=False, int8_calib=None):
         seen["tta"], seen["align"] = tta, tta_align_ab
         raise RuntimeError("stop-test")
 
@@ -435,6 +435,12 @@ def test_predict_trees_tta_flag_wiring(monkeypatch):
         predict_trees.main(base + ["--tta-align-ab"])
     with pytest.raises(SystemExit):
         predict_trees.main(base + ["--tta", "--folded"])
+    # int8 is its own folded graph: composing it with the float folded
+    # graph or the flax TTA graph is rejected at the parser
+    with pytest.raises(SystemExit):
+        predict_trees.main(base + ["--int8", "--folded"])
+    with pytest.raises(SystemExit):
+        predict_trees.main(base + ["--int8", "--tta"])
 
 
 def test_predict_trees_split_group_result():
@@ -567,6 +573,21 @@ def test_predict_trees_cli(tmp_path):
     stats4 = json.loads((out4 / "tree_stats.json").read_text())
     assert stats4["0"]["frames_in_batch"] == 2
     assert stats4["0"]["superblocks"] == 2
+
+    # --int8: per-level self-calibrated int8 hybrid serving through the
+    # same disk->trees path; trees must be well-formed (quantized weights,
+    # so exact agreement with the float run is not asserted)
+    out5 = tmp_path / "trees_int8"
+    predict_trees.main([
+        "--yuv", str(yuv), "--frames", "0",
+        "--models-64", str(models_dir), "--models-32", str(models_dir),
+        "--models-16", str(models_dir), "--models-8", str(models_dir),
+        "--output-dir", str(out5), "--batch-size", "64", "--no-ab-fgvc",
+        "--int8", "--int8-calib-blocks", "8",
+    ])
+    trees_i8 = np.load(out5 / f"trees_frame0.npz")["trees"]
+    assert trees_i8.shape == (2, 85)
+    assert (trees_i8 >= -1).all() and (trees_i8 <= 9).all()
 
 
 @slow
