@@ -115,12 +115,21 @@ def make_fused_front(
     co, so = hw // 2, hw // 4
     nb = co * so * 64
     m_np, b_np = build_front_matrix(stem_kernel, stem_bias, hw)
-    m = jnp.asarray(m_np, float_dtype)
-    bias = jnp.asarray(b_np.reshape(1, -1), jnp.float32)
+    b_np = b_np.reshape(1, -1)
     kernel = _front_kernel(nb, co, so)
     n_out = so * so * 64
 
     def front(x):
+        # Convert the candidate matrix per trace, NOT at build time: the
+        # pipeline builders construct fronts lazily inside their jitted
+        # predict (the extent is only known from the traced shape), and a
+        # build-time jnp.asarray there becomes a tracer that the cached
+        # closure would leak into every later trace (UnexpectedTracerError
+        # on retrace — caught by the round-4 on-chip bench). Closing over
+        # numpy keeps the closure trace-free; each compile embeds the
+        # matrices as constants.
+        m = jnp.asarray(m_np, float_dtype)
+        bias = jnp.asarray(b_np, jnp.float32)
         b = x.shape[0]
         xf = x.reshape(b, hw * hw).astype(float_dtype)
         bp = -(-b // tile) * tile

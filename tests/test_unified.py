@@ -475,6 +475,31 @@ def test_unified_folded_matches_flax(unified, images):
                                    err_msg=key)
 
 
+def test_unified_fused_front_retrace(unified, images):
+    """Retrace regression (round-4 on-chip bench failure): the fused-front
+    pipeline builds the Pallas front lazily inside its jitted predict, so
+    the SECOND trace (a new batch shape) must not reuse trace-local values
+    from the first — before the fix, the cached front closure held a
+    jnp constant created during trace #1 and every retrace raised
+    UnexpectedTracerError."""
+    model, variables = unified
+    fused = make_unified_pipeline_folded(
+        variables, stage1_threshold=0.45, norm_scale=1023.0,
+        float_dtype=jnp.float32, use_fused_front=True, interpret=True,
+    )
+    base = make_unified_pipeline_folded(
+        variables, stage1_threshold=0.45, norm_scale=1023.0,
+        float_dtype=jnp.float32,
+    )
+    for batch in (images, images[:7]):  # second call forces a retrace
+        got = {k: np.asarray(v) for k, v in fused(jnp.asarray(batch)).items()}
+        want = {k: np.asarray(v) for k, v in base(jnp.asarray(batch)).items()}
+        np.testing.assert_allclose(
+            got["stage1_prob"], want["stage1_prob"], atol=1e-4
+        )
+        np.testing.assert_array_equal(got["final"], want["final"])
+
+
 # ---------------------------------------------------------------------------
 # Teacher logits
 # ---------------------------------------------------------------------------
