@@ -67,18 +67,23 @@ def export_best(result, model_name: str, output_dir: Path) -> Optional[Path]:
 
 
 def load_model_variables(path: Path) -> Dict[str, Any]:
-    """Load variables from a flat npz OR import a reference torch .pt."""
+    """Load variables from a flat npz OR import a reference torch .pt.
+
+    Torch checkpoints are dispatched to the right importer by their state
+    dict's key shape (v5 hierarchical / FGVC / v6 per-stage —
+    :func:`av1tpu.models.torch_import.import_any`), so every checkpoint
+    family the reference trains loads through the same flag."""
     path = Path(path)
     if path.suffix == ".npz":
         return load_variables_npz(path)
     if path.suffix in (".pt", ".pth"):
         from av1tpu.models.torch_import import (
             as_jax_variables,
-            import_v6_stage_model,
+            import_any,
             load_torch_checkpoint,
         )
 
-        return as_jax_variables(import_v6_stage_model(load_torch_checkpoint(path)))
+        return as_jax_variables(import_any(load_torch_checkpoint(path)))
     raise ValueError(f"unsupported checkpoint format: {path}")
 
 

@@ -208,13 +208,14 @@ def main(argv=None) -> None:
                         "spatial-matmul tail; 1.15-1.2x the folded bf16 "
                         "cascade, 3.6x with --unified, on a v5e). "
                         "Calibration is self-serve: activation scales come "
-                        "from the first requested frame's own blocks at "
-                        "each level size. Incompatible with --folded/--tta "
+                        "from the clip's own blocks at each level size, "
+                        "sampled across up to 4 evenly spaced requested "
+                        "frames. Incompatible with --folded/--tta "
                         "(int8 is its own folded graph); an FGVC AB "
                         "checkpoint stays float inside the graph")
     parser.add_argument("--int8-calib-blocks", type=int, default=256,
                         help="with --int8: max calibration blocks sampled "
-                        "per level size from the first frame")
+                        "per level size across the calibration frames")
     parser.add_argument("--folded", action="store_true",
                         help="serve each level through the BN-folded graph "
                         "(eval.folded, the bench-headline formulation — "
@@ -268,17 +269,32 @@ def main(argv=None) -> None:
         # self-serve calibration: the int8 hybrid lowering bakes per-site
         # activation scales (and extent-specific SMM matrices), so each
         # level calibrates on a sample of the input video's OWN blocks at
-        # that size — no separate calibration dataset to ship
+        # that size — no separate calibration dataset to ship. Blocks are
+        # spread over up to 4 evenly spaced requested frames: a single
+        # frame's scales drift out of distribution across scene/content
+        # changes later in the clip (round-4 advisor finding; the drift
+        # guard is quant.make_drift_checker).
         from av1tpu.ingest.tiler import tile_frame as _tile_for_calib
 
-        sbs0, _ = _tile_for_calib(
-            read_y_frame(args.yuv, args.frames[0], geom), 64
+        n_calib_frames = min(4, len(args.frames))
+        calib_frames = sorted(
+            {
+                args.frames[round(i * (len(args.frames) - 1) /
+                                  max(1, n_calib_frames - 1))]
+                for i in range(n_calib_frames)
+            }
+        )
+        calib_sbs = np.concatenate(
+            [
+                _tile_for_calib(read_y_frame(args.yuv, f, geom), 64)[0]
+                for f in calib_frames
+            ]
         )
         calib_rng = np.random.default_rng(0)
         for size in (64, 32, 16, 8):
             f = 64 // size
             blocks = (
-                sbs0.reshape(-1, f, size, f, size)
+                calib_sbs.reshape(-1, f, size, f, size)
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(-1, size, size)
             )

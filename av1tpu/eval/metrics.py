@@ -40,15 +40,22 @@ def compute_metrics(
     y_true: np.ndarray,
     y_pred: np.ndarray,
     labels: Optional[Sequence[str]] = None,
+    num_classes: Optional[int] = None,
 ) -> Dict[str, object]:
     """Accuracy / macro / weighted F1 / per-class table + confusion.
 
     Same quantities as the reference ``compute_metrics`` (metrics.py:17-73,
     built on sklearn) with identical averaging semantics.
+
+    Pass ``labels`` (class names) or ``num_classes`` to pin the confusion
+    matrix's size the way the reference's fixed label lists do; without
+    either, the class count is inferred from the data, and a sample
+    missing the top class yields a smaller matrix.
     """
     y_true = np.asarray(y_true)
     y_pred = np.asarray(y_pred)
-    num_classes = int(max(y_true.max(initial=0), y_pred.max(initial=0))) + 1
+    inferred = int(max(y_true.max(initial=0), y_pred.max(initial=0))) + 1
+    num_classes = max(inferred, num_classes or 0)
     if labels is not None:
         num_classes = max(num_classes, len(labels))
     conf = confusion(y_true, y_pred, num_classes)

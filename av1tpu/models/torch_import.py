@@ -181,6 +181,19 @@ def import_v5_hierarchical(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def import_any(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Auto-dispatch a reference state dict to the right importer by its
+    key shape: ``specialist_heads.*`` -> v5 hierarchical
+    (models_hier.py:158-206), ``feat_proj.*``/``classifier.weight`` ->
+    FGVC (scripts/006), else a v6 per-stage model."""
+    keys = set(state_dict)
+    if any(k.startswith("specialist_heads.") for k in keys):
+        return import_v5_hierarchical(state_dict)
+    if "classifier.weight" in keys or any(k.startswith("feat_proj.") for k in keys):
+        return import_fgvc_model(state_dict)
+    return import_v6_stage_model(state_dict)
+
+
 def load_torch_checkpoint(path) -> Dict[str, Any]:
     """Load a reference checkpoint file and return its raw state dict
     (handles both ``model_state_dict`` and ``model_state`` payload keys)."""
@@ -203,6 +216,7 @@ def as_jax_variables(variables: Dict[str, Dict]):
 
 __all__ = [
     "as_jax_variables",
+    "import_any",
     "import_fgvc_model",
     "import_v5_hierarchical",
     "import_v6_stage_model",

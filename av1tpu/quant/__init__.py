@@ -6,6 +6,7 @@ from av1tpu.quant.ptq import (
     calibrate,
     fold_backbone,
     fold_head,
+    make_drift_checker,
     make_unified_pipeline_int8,
     make_v6_pipeline_int8,
     quantize_stage,
@@ -19,6 +20,7 @@ __all__ = [
     "calibrate",
     "fold_backbone",
     "fold_head",
+    "make_drift_checker",
     "make_unified_pipeline_int8",
     "make_v6_pipeline_int8",
     "quantize_stage",

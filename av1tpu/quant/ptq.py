@@ -352,8 +352,8 @@ def _plan_backbone(folded: Dict, hw: int) -> Dict:
     1 at 4x4 keeps the conv form — its 64-channel tensors are the
     largest, and the 16/9 extra traffic measured slower.
 
-    Returns ``{"blocks": {name: {"form", "s", "so", "stride", "ch"}},
-    "smm_w": {wkey: np (K,N)}, "smm_b": {wkey: np (N,)}}``.
+    Returns ``{"hw": hw, "blocks": {name: {"form", "s", "so", "stride",
+    "ch"}}, "smm_w": {wkey: np (K,N)}, "smm_b": {wkey: np (N,)}}``.
     """
     s = _stem_out_extent(hw)
     blocks: Dict[str, Dict] = {}
@@ -392,7 +392,22 @@ def _plan_backbone(folded: Dict, hw: int) -> Dict:
                         so * so,
                     )
             s = so
-    return {"blocks": blocks, "smm_w": smm_w, "smm_b": smm_b}
+    return {"hw": hw, "blocks": blocks, "smm_w": smm_w, "smm_b": smm_b}
+
+
+def _check_plan_extent(plan: Optional[Dict], x) -> None:
+    """Hybrid-lowered models are extent-specialized: the plan's SMM
+    matrices and activation scales bake the calibration extent. Serving a
+    different size would fail deep inside a dot/reshape with an opaque
+    shape error, so validate up front."""
+    hw = plan.get("hw") if plan is not None else None
+    if hw is not None and (x.shape[1] != hw or x.shape[2] != hw):
+        raise ValueError(
+            f"model was quantized for {hw}x{hw} inputs, got "
+            f"{x.shape[1]}x{x.shape[2]} — re-quantize with calibration "
+            f"images of this extent (the hybrid lowering bakes SMM "
+            f"matrices per spatial size)"
+        )
 
 
 def _backbone_apply_hybrid(
@@ -751,8 +766,10 @@ class QuantStageModel:
     qbias: Optional[Dict[str, jnp.ndarray]] = None
     plan: Optional[Dict] = None
     front_fn: Optional[Any] = None
+    calib_amax: Optional[Dict[str, np.ndarray]] = None
 
     def __call__(self, x):
+        _check_plan_extent(self.plan, x)
         if self.plan is not None:
             feats = _backbone_apply_hybrid(
                 self.folded, x, self.plan, self.scales, self.qw,
@@ -885,10 +902,11 @@ def _quantize_sites(
     bias_correct: bool,
     plan: Optional[Dict] = None,
 ):
-    """The shared fold-calibrate-quantize core: returns (scales, qw, qbias)
-    for a folded backbone plus any number of named dense-head stacks.
+    """The shared fold-calibrate-quantize core: returns (scales, qw, qbias,
+    amax) for a folded backbone plus any number of named dense-head stacks.
     ``plan`` selects the hybrid lowering's site graph (SMM matrices as
-    consumers at the planned blocks)."""
+    consumers at the planned blocks). ``amax`` is the raw (pre-equalization)
+    per-site calibration absmax — the reference point for drift checks."""
     amax, captured = calibrate(folded, heads, calib_x, capture=True, plan=plan)
     sites = _site_consumers(folded, heads, plan=plan)
 
@@ -987,7 +1005,7 @@ def _quantize_sites(
                     jnp.asarray(base, jnp.float32) + deltas[wkey]
                 )
 
-    return scales, qw, qbias
+    return scales, qw, qbias, amax
 
 
 def quantize_stage(
@@ -1018,12 +1036,12 @@ def quantize_stage(
         _plan_backbone(folded, int(calib_x.shape[1]))
         if lowering == "hybrid" else None
     )
-    scales, qw, qbias = _quantize_sites(
+    scales, qw, qbias, amax = _quantize_sites(
         folded, {"head": head}, calib_x, equalize, bias_correct, plan=plan
     )
     return QuantStageModel(
         folded, head, scales, qw, float_dtype=float_dtype, qbias=qbias,
-        plan=plan,
+        plan=plan, calib_amax=amax,
     )
 
 
@@ -1048,12 +1066,15 @@ class QuantUnifiedModel:
     qbias: Optional[Dict[str, jnp.ndarray]] = None
     plan: Optional[Dict] = None
     front_fn: Optional[Any] = None
+    calib_amax: Optional[Dict[str, np.ndarray]] = None
 
     def _forward(self, x, quant: bool):
         scales = self.scales if quant else None
         qw = self.qw if quant else None
         qbias = self.qbias if quant else None
         fd = self.float_dtype if quant else jnp.float32
+        if quant:
+            _check_plan_extent(self.plan, x)
         if quant and self.plan is not None:
             feats = _backbone_apply_hybrid(
                 self.folded, x, self.plan, scales, qw, float_dtype=fd,
@@ -1107,13 +1128,74 @@ def quantize_unified(
         _plan_backbone(folded, int(calib_x.shape[1]))
         if lowering == "hybrid" else None
     )
-    scales, qw, qbias = _quantize_sites(
+    scales, qw, qbias, amax = _quantize_sites(
         folded, heads, calib_x, equalize, bias_correct, plan=plan
     )
     return QuantUnifiedModel(
         folded, heads, scales, qw, float_dtype=float_dtype, qbias=qbias,
-        plan=plan,
+        plan=plan, calib_amax=amax,
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration-drift detection
+# ---------------------------------------------------------------------------
+
+
+def make_drift_checker(q):
+    """Running activation-range check for a quantized model.
+
+    int8 activation scales are frozen at calibration time; content drift
+    (a scene cut, new texture statistics) can push activations past the
+    calibrated absmax, where int8 clipping silently degrades agreement.
+    This builds a cheap monitor: ONE float observe-mode forward (jitted
+    once; reuse amortizes the compile) that returns the worst per-site
+    ratio of observed absmax to the calibration absmax.
+
+    ``check(x)`` takes normalized float images (N,H,W,1) — a small sample
+    (~64 blocks) suffices — and returns ``{"max_ratio", "worst_site"}``.
+    The ratio is PER-TENSOR (observed site absmax over calibrated site
+    absmax — the quantity that sets the activation scale ``s_x``);
+    per-channel ratios are dominated by channels that happened to be
+    near-zero on the calibration batch and flag noise, not drift.
+    ``max_ratio <= 1`` means the sample sits inside the calibrated range;
+    sustained ratios above ~1.5 are the recalibration trigger (a 1.5x
+    input brightness shift measures ~1.9, a scene-cut-sized 3x shift
+    ~4.4; same-distribution held-out data ~1.17).
+    """
+    if q.calib_amax is None:
+        raise ValueError("model carries no calibration amax (legacy object?)")
+    heads = _as_heads(q.heads if hasattr(q, "heads") else q.head)
+    base = {
+        site: max(float(np.max(np.asarray(v, np.float64))), 1e-12)
+        for site, v in q.calib_amax.items()
+    }
+
+    @jax.jit
+    def observed_amax(x):
+        observed: Dict[str, jnp.ndarray] = {}
+        if q.plan is not None:
+            feats = _backbone_apply_hybrid(
+                q.folded, x, q.plan, observed=observed
+            )
+        else:
+            feats = _backbone_apply(q.folded, x, observed=observed)
+        for prefix, stack in heads.items():
+            _head_apply(stack, feats, observed=observed, site_prefix=prefix)
+        return observed
+
+    def check(x) -> Dict[str, Any]:
+        amax = observed_amax(x)
+        worst, worst_site = 0.0, None
+        for site, b in base.items():
+            if site not in amax:
+                continue
+            r = float(np.max(np.asarray(amax[site], np.float64) / b))
+            if r > worst:
+                worst, worst_site = r, site
+        return {"max_ratio": worst, "worst_site": worst_site}
+
+    return check
 
 
 # ---------------------------------------------------------------------------
@@ -1122,16 +1204,22 @@ def quantize_unified(
 
 
 def attach_fused_front(
-    q, hw: int, float_dtype=jnp.bfloat16, tile: int = 128,
+    q, hw: int, float_dtype=None, tile: int = 128,
     interpret: bool = False,
 ):
     """Swap a quantized (or folded) model's stem+maxpool for the Pallas
     fused front kernel (``kernels.fused_front`` — bit-identical, ~1.3x).
-    No-op (returns False) when the extent is unsupported."""
+    No-op (returns False) when the extent is unsupported.
+
+    ``float_dtype=None`` (default) follows ``q.float_dtype`` so a direct
+    caller cannot silently inject a bf16 stem into an fp32-calibrated
+    graph."""
     from av1tpu.kernels.fused_front import make_fused_front, supports_extent
 
     if not supports_extent(hw):
         return False
+    if float_dtype is None:
+        float_dtype = q.float_dtype
     q.front_fn = make_fused_front(
         q.folded["stem"]["kernel"], q.folded["stem"]["bias"], hw,
         float_dtype=float_dtype, tile=tile, interpret=interpret,
@@ -1148,6 +1236,7 @@ def make_v6_pipeline_int8(
     mesh=None,
     use_fused_front: bool = False,
     interpret: bool = False,
+    quant_out: Optional[list] = None,
 ):
     """int8 twin of :func:`av1tpu.eval.make_v6_pipeline`.
 
@@ -1178,6 +1267,13 @@ def make_v6_pipeline_int8(
     else:
         ab_logits_fn = lambda x: models.stage3_ab.apply(  # noqa: E731
             models.stage3_ab_vars, x, train=False
+        )
+    if quant_out is not None:
+        # expose the quantized stage objects (calibration amax, plans) for
+        # drift monitoring — the returned predict is an opaque jit closure
+        quant_out.extend(
+            q for q in (q1, q2, q3r, ab_logits_fn)
+            if isinstance(q, QuantStageModel)
         )
 
     has_pallas = False
@@ -1223,6 +1319,7 @@ def make_unified_pipeline_int8(
     mesh=None,
     use_fused_front: bool = False,
     interpret: bool = False,
+    quant_out: Optional[list] = None,
 ):
     """int8 twin of :func:`av1tpu.eval.make_unified_pipeline_folded`.
 
@@ -1239,6 +1336,8 @@ def make_unified_pipeline_int8(
 
     calib_x = calib_images.astype(jnp.float32) / norm_scale
     q = quantize_unified(variables, calib_x, float_dtype)
+    if quant_out is not None:
+        quant_out.append(q)
     has_pallas = False
     if use_fused_front:
         has_pallas = attach_fused_front(
@@ -1264,6 +1363,7 @@ __all__ = [
     "calibrate",
     "fold_backbone",
     "fold_head",
+    "make_drift_checker",
     "make_unified_pipeline_int8",
     "make_v6_pipeline_int8",
     "quantize_stage",

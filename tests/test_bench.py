@@ -109,10 +109,15 @@ def test_time_predict_falls_back_when_aot_call_raises():
             calls["predict"] += 1
             return {"final": jnp.zeros((images.shape[0],), jnp.int32)}
 
-    thr, flops, mfu = bench._time_predict(Predict(), batch=4, block_px=2, iters=2)
+    thr, flops, mfu, aot_err = bench._time_predict(
+        Predict(), batch=4, block_px=2, iters=2
+    )
     assert thr > 0
     assert calls["compiled"] == 1  # tried once, rejected at call time
     assert calls["predict"] >= 3  # warmup + timed iters ran on the fallback
+    # the fallback reason is surfaced so health runs can tell the known
+    # Pallas AOT limitation from a new regression (round-4 advisor finding)
+    assert aot_err is not None and "72 inputs" in aot_err
 
 
 def test_probe_backend_bounds_a_hang(monkeypatch):
@@ -170,7 +175,7 @@ def test_int8_section_runs(bench_models):
     predict = make_v6_pipeline_int8(
         models, calib, stage1_threshold=0.45, float_dtype=dtype
     )
-    thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
+    thr, _, _, _ = bench._time_predict(predict, 64, 16, iters=2)
     assert thr > 0
 
 
@@ -238,7 +243,7 @@ def test_unified_section_runs():
     predict = make_unified_pipeline_folded(
         uni_vars, stage1_threshold=0.45, float_dtype=dtype
     )
-    thr, _, _ = bench._time_predict(predict, 64, 16, iters=2)
+    thr, _, _, _ = bench._time_predict(predict, 64, 16, iters=2)
     assert thr > 0
 
 
@@ -264,3 +269,19 @@ def test_unified_tree_cascade_section(bench_models):
         models, dtype, n_superblocks=N_SUPERBLOCKS, iters=2, predict=predict
     )
     assert result["trees_per_sec"] > 0
+
+
+@slow
+def test_training_section_runs():
+    """bench_training at toy scale: both training guards (resident stage-1
+    epoch, fused step, unified multi-task step) produce positive
+    throughput — the round-5 regression guard for the training path."""
+    import jax.numpy as jnp
+
+    import bench
+
+    out = bench.bench_training(jnp.float32, n_samples=256, batch=64)
+    assert out["resident_stage1_epoch"]["samples_per_sec"] > 0
+    assert out["resident_stage1_epoch"]["samples_per_epoch"] > 0
+    assert out["stage1_step"]["samples_per_sec"] > 0
+    assert out["unified_step"]["samples_per_sec"] > 0

@@ -480,3 +480,76 @@ def test_fused_front_pipeline_agreement(v6_models, images):
         bq["stage1_prob"], aq["stage1_prob"], atol=1e-4
     )
     assert (bq["final"] == aq["final"]).mean() >= 0.95
+
+
+def test_hybrid_extent_guard(stage1, images):
+    """Hybrid-lowered models bake SMM matrices and activation scales for
+    the calibration extent; serving a different spatial size must fail
+    with a clear up-front error, not an opaque dot/reshape shape error
+    deep in the lowering (round-4 advisor finding)."""
+    _, variables = stage1
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_stage(variables, x[:16])
+    assert q.plan is not None and q.plan["hw"] == 16
+    with pytest.raises(ValueError, match="quantized for 16x16.*got 8x8"):
+        q(jnp.zeros((4, 8, 8, 1), jnp.float32))
+    # the float observe path is extent-generic and must stay usable
+    q.float_forward(x)
+
+
+def test_drift_checker_flags_out_of_range(stage1, images):
+    """make_drift_checker: in-distribution samples sit near the calibrated
+    activation range (ratio ~1); content drift (here a 10x brightness
+    shift) pushes the worst per-site ratio well past it — the deployment
+    recalibration trigger."""
+    from av1tpu.quant import make_drift_checker
+
+    _, variables = stage1
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_stage(variables, x[:16])
+    check = make_drift_checker(q)
+
+    same = check(x[16:])
+    assert 0.0 < same["max_ratio"] < 1.8, same
+    shifted = check(x[16:] * 10.0)
+    assert shifted["max_ratio"] > max(2.0, same["max_ratio"] * 2), shifted
+    assert shifted["worst_site"] is not None
+    # the calibration sample itself is by construction fully in-range
+    exact = check(x[:16])
+    assert exact["max_ratio"] <= 1.0 + 1e-5, exact
+
+
+def test_drift_checker_unified(v6_models, images):
+    """The drift checker also covers QuantUnifiedModel (named heads)."""
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.quant import make_drift_checker
+    from av1tpu.quant.ptq import quantize_unified
+    from av1tpu.utils.initialization import init_on_cpu
+
+    model = UnifiedV6Model()
+    variables = init_on_cpu(
+        model, jax.random.PRNGKey(5), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_unified(variables, x[:16])
+    check = make_drift_checker(q)
+    assert check(x[:16])["max_ratio"] <= 1.0 + 1e-5
+    assert check(x[16:] * 10.0)["max_ratio"] > 2.0
+
+
+def test_attach_fused_front_follows_model_dtype(stage1, images):
+    """attach_fused_front's default float_dtype follows the quantized
+    model's own float_dtype (round-4 advisor finding: a hardcoded bf16
+    default silently injected a bf16 stem into fp32-calibrated graphs)."""
+    from av1tpu.quant.ptq import attach_fused_front
+
+    _, variables = stage1
+    x = jnp.asarray(images, jnp.float32) / 1023.0
+    q = quantize_stage(variables, x[:16], float_dtype=jnp.float32)
+    assert attach_fused_front(q, 16, interpret=True)
+    # fp32 front on an fp32 model: stage-1 logits must match the XLA-front
+    # twin to float tolerance, not bf16 tolerance
+    q_ref = quantize_stage(variables, x[:16], float_dtype=jnp.float32)
+    got = np.asarray(jax.jit(lambda t: q(t))(x))
+    want = np.asarray(jax.jit(lambda t: q_ref(t))(x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

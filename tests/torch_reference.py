@@ -88,12 +88,12 @@ class TorchImprovedBackbone(nn.Module):
 
 
 class TorchStage2Head(nn.Module):
-    def __init__(self):
+    def __init__(self, num_classes=3):
         super().__init__()
         self.head = nn.Sequential(
             nn.Linear(512, 256), nn.ReLU(), nn.Dropout(0.4),
             nn.Linear(256, 128), nn.ReLU(), nn.Dropout(0.4),
-            nn.Linear(128, 3),
+            nn.Linear(128, num_classes),
         )
 
     def forward(self, x):
@@ -101,10 +101,13 @@ class TorchStage2Head(nn.Module):
 
 
 class TorchStage2Model(nn.Module):
-    def __init__(self):
+    """Any v6 per-stage model: stage1 (1 logit), stage2 (3), rect (2),
+    ab (4) share the backbone+MLP-head graph (models.py:129-210)."""
+
+    def __init__(self, num_classes=3):
         super().__init__()
         self.backbone = TorchImprovedBackbone()
-        self.head = TorchStage2Head()
+        self.head = TorchStage2Head(num_classes)
 
     def forward(self, x):
         return self.head(self.backbone(x))
