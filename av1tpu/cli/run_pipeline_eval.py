@@ -307,6 +307,7 @@ def main(argv=None) -> None:
     else:
         args.calib_images = None
 
+    qps_arg = None  # set by the v5 branch for QP-conditioned checkpoints
     if args.variant == "v6":
         required = ["stage1_checkpoint", "stage2_checkpoint",
                     "stage3_rect_checkpoint"]
@@ -340,8 +341,16 @@ def main(argv=None) -> None:
         label_space = 8
     else:
         v5_vars = load_model_variables(args.v5_checkpoint)
+        # QP-conditioned checkpoints (train_stage1 --use-qp / reference
+        # models_hier.py:86-101) carry a qp_embed tree: build the model in
+        # QP mode and feed the bundle's per-sample QPs, normalized the way
+        # training fed them (qp/255, train/trainer.py:147)
+        use_qp = "qp_embed" in v5_vars.get("params", {})
+        if use_qp:
+            print("QP-conditioned v5 checkpoint: feeding per-sample QPs")
+            qps_arg = bundle.qps.astype(np.float32) / 255.0
         predict = make_v5_pipeline(
-            HierarchicalModel(), v5_vars,
+            HierarchicalModel(use_qp=use_qp), v5_vars,
             stage1_threshold=args.stage1_threshold,
             available_specialists=tuple(args.available_specialists),
             mesh=mesh,
@@ -350,7 +359,9 @@ def main(argv=None) -> None:
         label_space = 10
 
     start = time.perf_counter()
-    out = run_pipeline_batched(predict, bundle.samples, args.batch_size, mesh=mesh)
+    out = run_pipeline_batched(
+        predict, bundle.samples, args.batch_size, mesh=mesh, qps=qps_arg
+    )
     seconds = time.perf_counter() - start
     throughput = len(bundle) / seconds
 

@@ -449,6 +449,7 @@ def run_pipeline_batched(
     mesh=None,
     as_numpy: bool = True,
     prefetch: int = 2,
+    qps=None,
 ) -> Dict[str, np.ndarray]:
     """Stream a whole dataset through a fused pipeline in fixed-shape
     batches (pads the tail; trims outputs). Accepts host numpy arrays or
@@ -464,7 +465,13 @@ def run_pipeline_batched(
     so the host-side staging copy and the tethered-link transfer of chunk
     N+1 overlap chunk N's device compute instead of serializing with it
     (round-3 weakness: the disk->trees path ran link-bound with zero
-    overlap). ``prefetch=0`` restores the fully-serial loop."""
+    overlap). ``prefetch=0`` restores the fully-serial loop.
+
+    ``qps``: optional per-sample conditioning array for QP-aware
+    predictors (a v5 ``make_v5_pipeline`` over a ``use_qp`` model);
+    sliced/padded/sharded alongside ``samples`` and passed as the
+    predictor's second positional argument. Pass it ALREADY normalized
+    the way training fed it (qp/255 — train/trainer.py)."""
     n = samples.shape[0]
     on_device = not isinstance(samples, np.ndarray)
     xp = jnp if on_device else np
@@ -487,15 +494,25 @@ def run_pipeline_batched(
     def prepare(start):
         chunk = samples[start : start + batch_size]
         valid = chunk.shape[0]
+        qchunk = None if qps is None else qps[start : start + batch_size]
         if valid < batch_size:
             pad = xp.repeat(chunk[:1], batch_size - valid, axis=0)
             chunk = xp.concatenate([chunk, pad], axis=0)
+            if qchunk is not None:
+                qchunk = xp.concatenate(
+                    [qchunk, xp.repeat(qchunk[:1], batch_size - valid, axis=0)],
+                    axis=0,
+                )
         with submit_guard:
             if not on_device:
                 chunk = jnp.asarray(chunk)
+                if qchunk is not None:
+                    qchunk = jnp.asarray(qchunk)
             if sharding is not None:
                 chunk = jax.device_put(chunk, sharding)
-        return chunk, valid
+                if qchunk is not None:
+                    qchunk = jax.device_put(qchunk, sharding)
+        return chunk, qchunk, valid
 
     starts = list(range(0, n, batch_size))
     if on_device or prefetch <= 0 or len(starts) <= 1:
@@ -549,13 +566,14 @@ def run_pipeline_batched(
         replicated = NamedSharding(mesh, PartitionSpec())
 
     outputs: Dict[str, List] = {}
-    for chunk, valid in chunks:
+    for chunk, qchunk, valid in chunks:
         with submit_guard:
-            result = (
-                predict_fn(chunk, valid)
-                if accepts_valid
-                else predict_fn(chunk)
-            )
+            if accepts_valid:
+                result = predict_fn(chunk, valid)
+            elif qchunk is not None:
+                result = predict_fn(chunk, qchunk)
+            else:
+                result = predict_fn(chunk)
             if replicated is not None:
                 # Outputs are per-sample scalars (KBs) — replicate them
                 # across the mesh as they are produced so every downstream

@@ -88,29 +88,44 @@ class TorchImprovedBackbone(nn.Module):
 
 
 class TorchStage2Head(nn.Module):
-    def __init__(self, num_classes=3):
+    def __init__(self, hidden=(256, 128), num_classes=3, temperature=False):
         super().__init__()
-        self.head = nn.Sequential(
-            nn.Linear(512, 256), nn.ReLU(), nn.Dropout(0.4),
-            nn.Linear(256, 128), nn.ReLU(), nn.Dropout(0.4),
-            nn.Linear(128, num_classes),
-        )
+        layers, in_dim = [], 512
+        for h in hidden:
+            layers += [nn.Linear(in_dim, h), nn.ReLU(), nn.Dropout(0.4)]
+            in_dim = h
+        layers.append(nn.Linear(in_dim, num_classes))
+        self.head = nn.Sequential(*layers)
+        if temperature:  # Stage1BinaryHead (models.py:129-149)
+            self.temperature = nn.Parameter(torch.ones(1) * 1.5)
 
     def forward(self, x):
         return self.head(x)
 
 
 class TorchStage2Model(nn.Module):
-    """Any v6 per-stage model: stage1 (1 logit), stage2 (3), rect (2),
-    ab (4) share the backbone+MLP-head graph (models.py:129-210)."""
+    """Any v6 per-stage model; the per-stage head widths follow the
+    reference exactly (models.py:129-203): stage1 (256,)->1 + temperature,
+    stage2 (256,128)->3, rect (128,64)->2, ab (256,128)->4."""
 
-    def __init__(self, num_classes=3):
+    def __init__(self, hidden=(256, 128), num_classes=3, temperature=False):
         super().__init__()
         self.backbone = TorchImprovedBackbone()
-        self.head = TorchStage2Head(num_classes)
+        self.head = TorchStage2Head(hidden, num_classes, temperature)
 
     def forward(self, x):
         return self.head(self.backbone(x))
+
+
+def torch_v6_stage(stage: str) -> "TorchStage2Model":
+    """Reference-shaped per-stage v6 model (models.py:206-251)."""
+    spec = {
+        "stage1": ((256,), 1, True),
+        "stage2": ((256, 128), 3, False),
+        "rect": ((128, 64), 2, False),
+        "ab": ((256, 128), 4, False),
+    }[stage]
+    return TorchStage2Model(*spec)
 
 
 class TorchDepthwiseSeparableConv(nn.Module):
@@ -167,17 +182,41 @@ def _v5_head(in_dim, out_dim):
     )
 
 
-class TorchHierarchicalModel(nn.Module):
-    """v5 multi-head model with reference naming (models_hier.py:158-206)."""
+class TorchQPEmbedding(nn.Module):
+    """Scalar QP projection with reference naming (models_hier.py:86-101)."""
 
-    def __init__(self, feature_dim=128):
+    def __init__(self, embed_dim=16):
+        super().__init__()
+        self.proj = nn.Sequential(nn.Linear(1, embed_dim), nn.SiLU())
+
+    def forward(self, qp):
+        if qp.dim() == 1:
+            qp = qp.unsqueeze(-1)
+        return self.proj(qp)
+
+
+class TorchHierarchicalModel(nn.Module):
+    """v5 multi-head model with reference naming (models_hier.py:158-206);
+    ``use_qp`` adds the optional QP embedding concatenated to the backbone
+    features before every head (models_hier.py:86-101 semantics: head
+    hidden width stays feature_dim // 2)."""
+
+    def __init__(self, feature_dim=128, use_qp=False):
         super().__init__()
         self.backbone = TorchHierarchicalBackbone()
+        self.use_qp = use_qp
+        if use_qp:
+            self.qp_embed = TorchQPEmbedding()
+        qp_dim = 16 if use_qp else 0
 
         class Head(nn.Module):
             def __init__(self, out_dim):
                 super().__init__()
-                self.fc = _v5_head(feature_dim, out_dim)
+                self.fc = nn.Sequential(
+                    nn.Linear(feature_dim + qp_dim, feature_dim // 2),
+                    nn.SiLU(), nn.Dropout(0.3),
+                    nn.Linear(feature_dim // 2, out_dim),
+                )
 
             def forward(self, x):
                 return self.fc(x)
@@ -188,8 +227,14 @@ class TorchHierarchicalModel(nn.Module):
             "RECT": Head(2), "AB": Head(4), "1TO4": Head(2),
         })
 
-    def forward(self, x):
+    def forward(self, x, qp=None):
         f = self.backbone(x)
+        if self.use_qp:
+            if qp is None:
+                emb = torch.zeros(f.size(0), 16)
+            else:
+                emb = self.qp_embed(qp)
+            f = torch.cat([f, emb], dim=-1)
         return (
             self.stage1_head(f).squeeze(-1),
             self.stage2_head(f),
