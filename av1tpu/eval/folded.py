@@ -49,8 +49,10 @@ def _folded_stage_fn(
 
     ``use_fused_front`` swaps stem+maxpool for the Pallas fused front
     kernel (``kernels.fused_front`` — bit-identical, measured ~1.3x on
-    the v5e). Built lazily per input extent at trace time; extents the
-    kernel doesn't support (>16px) silently use the XLA front.
+    the v5e); the string ``"g1"`` swaps the whole stem+maxpool+layer-1+SE1
+    chain for ``make_fused_front_g1``. Built lazily per input extent at
+    trace time; extents the kernels don't support (>16px) silently use
+    the XLA front.
     """
     folded = fold_backbone(variables)
     head = fold_head(variables)
@@ -66,22 +68,40 @@ def _folded_stage_fn(
     fronts = {}
 
     def front_for(hw: int):
-        from av1tpu.kernels.fused_front import make_fused_front, supports_extent
+        from av1tpu.kernels.fused_front import (
+            make_fused_front,
+            make_fused_front_g1,
+            supports_extent,
+        )
 
         if not supports_extent(hw):
-            return None
+            return None, None
         if hw not in fronts:
-            fronts[hw] = make_fused_front(
-                folded["stem"]["kernel"], folded["stem"]["bias"], hw,
-                float_dtype=float_dtype, interpret=interpret,
-            )
+            if use_fused_front == "g1":
+                fronts[hw] = (
+                    None,
+                    make_fused_front_g1(
+                        folded, hw, float_dtype=float_dtype,
+                        interpret=interpret,
+                    ),
+                )
+            else:
+                fronts[hw] = (
+                    make_fused_front(
+                        folded["stem"]["kernel"], folded["stem"]["bias"], hw,
+                        float_dtype=float_dtype, interpret=interpret,
+                    ),
+                    None,
+                )
         return fronts[hw]
 
     def forward(x):
-        front_fn = front_for(int(x.shape[1])) if use_fused_front else None
+        front_fn, front_g1_fn = (
+            front_for(int(x.shape[1])) if use_fused_front else (None, None)
+        )
         feats = _backbone_apply(
             folded, x, float_dtype=float_dtype, group12_fn=group12_fn,
-            front_fn=front_fn,
+            front_fn=front_fn, front_g1_fn=front_g1_fn,
         )
         return _head_apply(head, feats, float_dtype=float_dtype)
 

@@ -116,7 +116,10 @@ def make_unified_pipeline_folded(
     the four head dense stacks; serving is one folded backbone forward +
     four matmul stacks. Same routing/output contract as
     :func:`make_unified_pipeline`. ``use_fused_front`` swaps stem+maxpool
-    for the Pallas fused front kernel (bit-identical, 8/16px extents).
+    for the Pallas fused front kernel (bit-identical, 8/16px extents);
+    pass the string ``"g1"`` to fuse the whole stem+maxpool+layer-1+SE1
+    chain instead (``kernels.fused_front.make_fused_front_g1`` — the
+    profiled HBM-bound share of the unified backbone).
     """
     from av1tpu.quant.ptq import (
         _backbone_apply,
@@ -134,23 +137,42 @@ def make_unified_pipeline_folded(
     fronts: Dict[int, object] = {}
 
     def front_for(hw: int):
-        from av1tpu.kernels.fused_front import make_fused_front, supports_extent
+        from av1tpu.kernels.fused_front import (
+            make_fused_front,
+            make_fused_front_g1,
+            supports_extent,
+        )
 
         if not supports_extent(hw):
-            return None
+            return None, None
         if hw not in fronts:
-            fronts[hw] = make_fused_front(
-                folded["stem"]["kernel"], folded["stem"]["bias"], hw,
-                float_dtype=float_dtype, interpret=interpret,
-            )
+            if use_fused_front == "g1":
+                fronts[hw] = (
+                    None,
+                    make_fused_front_g1(
+                        folded, hw, float_dtype=float_dtype,
+                        interpret=interpret,
+                    ),
+                )
+            else:
+                fronts[hw] = (
+                    make_fused_front(
+                        folded["stem"]["kernel"], folded["stem"]["bias"], hw,
+                        float_dtype=float_dtype, interpret=interpret,
+                    ),
+                    None,
+                )
         return fronts[hw]
 
     def predict(images) -> Dict[str, jnp.ndarray]:
         x = images.astype(jnp.float32) / norm_scale
         x = x.astype(float_dtype)
-        front_fn = front_for(int(x.shape[1])) if use_fused_front else None
+        front_fn, front_g1_fn = (
+            front_for(int(x.shape[1])) if use_fused_front else (None, None)
+        )
         feats = _backbone_apply(
-            folded, x, float_dtype=float_dtype, front_fn=front_fn
+            folded, x, float_dtype=float_dtype, front_fn=front_fn,
+            front_g1_fn=front_g1_fn,
         )
         logits = jnp.concatenate(
             [

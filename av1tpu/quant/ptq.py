@@ -585,6 +585,7 @@ def _backbone_apply(
     qbias: Optional[Dict] = None,
     captured: Optional[Dict] = None,
     front_fn=None,
+    front_g1_fn=None,
 ):
     """ImprovedBackbone inference forward over folded weights.
 
@@ -601,6 +602,10 @@ def _backbone_apply(
     ``front_fn``: a fused replacement for stem+bias+relu+maxpool — e.g.
     ``kernels.fused_front.make_fused_front`` — taking the normalized
     NHWC input and returning the post-maxpool activation.
+    ``front_g1_fn`` (float serving path only) goes further: it replaces
+    stem+maxpool+layer1 blocks+SE1 in one call
+    (``kernels.fused_front.make_fused_front_g1``), so the backbone
+    resumes at layer group 2.
     """
     quant = qw is not None
 
@@ -645,7 +650,11 @@ def _backbone_apply(
 
     x = x.astype(float_dtype)
     # Stem (float): 7x7/2 conv on 1 channel + folded-BN bias + relu + maxpool.
-    if front_fn is not None:
+    skip_group1 = False
+    if front_g1_fn is not None and not quant and observed is None:
+        x = front_g1_fn(x)
+        skip_group1 = True
+    elif front_fn is not None:
         x = front_fn(x)
     else:
         stem = folded["stem"]
@@ -660,7 +669,9 @@ def _backbone_apply(
         x = fnn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
     groups = list(enumerate(_GROUPS, start=1))
-    if group12_fn is not None and not quant and observed is None:
+    if skip_group1:
+        groups = groups[1:]
+    elif group12_fn is not None and not quant and observed is None:
         x = group12_fn(x)
         groups = groups[2:]
     for gi, gname in groups:

@@ -81,6 +81,18 @@ def main(argv=None):
                         default=True,
                         help="bf16 compute (default; --no-bf16 for float32)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--unified-kd", action="store_true",
+                        help="additionally train a unified single-backbone "
+                        "family per size, distilled from that size's "
+                        "trained ladder (cli.train_unified), and score the "
+                        "'unified'/'unified_tta' tree variants with it")
+    parser.add_argument("--unified-epochs", type=int, default=20)
+    parser.add_argument("--distill-weight", type=float, default=0.5)
+    parser.add_argument("--variants", nargs="+", default=["ladder"],
+                        choices=["ladder", "ladder_tta", "unified",
+                                 "unified_tta"],
+                        help="tree-prediction variants to score; the first "
+                        "one is reported as the primary tree_accuracy")
     parser.add_argument("--sizes", type=int, nargs="+",
                         default=[64, 32, 16, 8])
     parser.add_argument("--resume", action="store_true",
@@ -106,7 +118,8 @@ def main(argv=None):
         prev = json.loads((out / "RESULTS.json").read_text())
         guarded = ("train_superblocks", "val_superblocks", "batch_size",
                    "stage1_epochs", "stage2_epochs", "stage3_epochs",
-                   "freeze_epochs", "calibrate", "bf16", "seed")
+                   "freeze_epochs", "calibrate", "bf16", "seed",
+                   "unified_kd", "unified_epochs", "distill_weight")
         mismatch = {
             k: (prev.get("config", {}).get(k), getattr(args, k))
             for k in guarded
@@ -235,6 +248,44 @@ def main(argv=None):
         ], done=sdir / "models" / "stage3_ab_fgvc_history.json")
         if wall is not None:
             szres["stage3_ab_wall"] = round(wall, 1)
+        if args.unified_kd:
+            from av1tpu.cli import train_unified
+
+            wall = step(f"unified_kd[{size}]", train_unified.main, [
+                *common, "--output-dir", str(sdir / "models"),
+                "--epochs", str(args.unified_epochs),
+                "--distill-weight", str(args.distill_weight),
+                "--stage1-checkpoint", str(s1_ckpt),
+                "--stage2-checkpoint", str(s2_ckpt),
+                "--stage3-rect-checkpoint",
+                str(sdir / "models" / "stage3_rect_best_variables.npz"),
+                "--stage3-ab-checkpoint",
+                str(sdir / "models" / "stage3_ab_fgvc_best_variables.npz"),
+            ], done=sdir / "models" / "unified_history.json")
+            if wall is not None:
+                szres["unified_wall"] = round(wall, 1)
+            if args.calibrate:
+                step(f"calibrate_unified[{size}]", optimize_thresholds.main, [
+                    "--dataset-dir", str(ds), "--block-size", str(size),
+                    "--unified-checkpoint",
+                    str(sdir / "models" / "unified_best_variables.npz"),
+                    "--output-dir", str(sdir / "calibration_unified"),
+                    "--grid", "0.30", "0.70", "0.05", *bf16,
+                ], done=sdir / "calibration_unified"
+                        / "threshold_summary.json")
+                uni_summary = json.loads(
+                    (sdir / "calibration_unified" / "threshold_summary.json")
+                    .read_text()
+                )
+                szres["unified_calibrated_threshold"] = (
+                    uni_summary["f1"]["threshold"]
+                )
+            uh = json.loads(
+                (sdir / "models" / "unified_history.json").read_text()
+            )
+            szres["unified_best_macro_f1"] = round(
+                max(e["val_metrics"]["macro_f1"] for e in uh), 4
+            )
         for stage, hist in (
             ("stage1", "stage1_history.json"),
             ("stage2", "stage2_history.json"),
@@ -256,41 +307,71 @@ def main(argv=None):
               "tree prediction (train-only run)", flush=True)
         (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
         return
-    tree_out = out / "trees"
-    if args.calibrate:
-        # predict_trees takes per-size thresholds positionally in
-        # 64/32/16/8 order, independent of --sizes ordering
-        thresholds = [
-            str(results["sizes"][str(s)]["calibrated_threshold"])
+    def thresholds_for(variant):
+        """predict_trees takes per-size thresholds positionally in
+        64/32/16/8 order, independent of --sizes ordering."""
+        if not args.calibrate:
+            return [str(args.stage1_threshold)]
+        key = (
+            "unified_calibrated_threshold"
+            if variant.startswith("unified") else "calibrated_threshold"
+        )
+        return [
+            str(results["sizes"][str(s)].get(
+                key, results["sizes"][str(s)]["calibrated_threshold"]
+            ))
             for s in (64, 32, 16, 8)
         ]
-    else:
-        thresholds = [str(args.stage1_threshold)]
-    wall = step("predict_trees", predict_trees.main, [
-        "--yuv", str(yuv_path),
-        "--frames", *[str(i) for i in range(frames)],
-        # one cascade dispatch per 10 frames: 15.5x the per-frame loop on a
-        # tethered chip (docs/PARITY.md round-4 disk->trees A/B)
-        "--frames-per-batch", "10",
-        *[a for s in args.sizes
-          for a in (f"--models-{s}", str(out / f"size_{s}" / "models"))],
-        "--output-dir", str(tree_out),
-        "--stage1-threshold", *thresholds,
-        *(["--folded"] if args.folded else []),
-        *bf16,
-    ], done=tree_out / "tree_stats.json")
 
-    pred_trees = np.concatenate([
-        np.load(tree_out / f"trees_frame{i}.npz")["trees"]
-        for i in range(frames)
-    ])
-    acc = tree_accuracy(pred_trees, val_trees)
-    if wall is None:  # --resume skipped the predict step
-        wall = prev.get("tree_accuracy", {}).get("predict_wall_seconds", 0.0)
-    acc["predict_wall_seconds"] = round(wall, 1)
-    results["tree_accuracy"] = acc
-    (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
+    VARIANT_FLAGS = {
+        "ladder": ["--folded"] if args.folded else [],
+        "ladder_tta": ["--tta"],
+        "unified": ["--unified"] + (["--folded"] if args.folded else []),
+        "unified_tta": ["--unified", "--tta"],
+    }
+    variants = list(dict.fromkeys(args.variants))
+    results.setdefault("tree_accuracy_variants", {}).update(
+        prev.get("tree_accuracy_variants", {})
+    )
+    for variant in variants:
+        if variant.startswith("unified") and not args.unified_kd:
+            sys.exit(f"variant {variant} requires --unified-kd")
+        tree_out = out / ("trees" if variant == "ladder" else
+                          f"trees_{variant}")
+        wall = step(f"predict_trees[{variant}]", predict_trees.main, [
+            "--yuv", str(yuv_path),
+            "--frames", *[str(i) for i in range(frames)],
+            # one cascade dispatch per 10 frames: 15.5x the per-frame loop
+            # on a tethered chip (docs/PARITY.md round-4 disk->trees A/B)
+            "--frames-per-batch", "10",
+            *[a for s in args.sizes
+              for a in (f"--models-{s}", str(out / f"size_{s}" / "models"))],
+            "--output-dir", str(tree_out),
+            "--stage1-threshold", *thresholds_for(variant),
+            *VARIANT_FLAGS[variant],
+            *bf16,
+        ], done=tree_out / "tree_stats.json")
 
+        pred_trees = np.concatenate([
+            np.load(tree_out / f"trees_frame{i}.npz")["trees"]
+            for i in range(frames)
+        ])
+        acc = tree_accuracy(pred_trees, val_trees)
+        if wall is None:  # --resume skipped the predict step
+            wall = (
+                results["tree_accuracy_variants"]
+                .get(variant, {})
+                .get("predict_wall_seconds", 0.0)
+            )
+        acc["predict_wall_seconds"] = round(wall, 1)
+        results["tree_accuracy_variants"][variant] = acc
+        if variant == variants[0]:
+            results["tree_accuracy"] = acc
+        (out / "RESULTS.json").write_text(json.dumps(results, indent=2))
+        print(f"[{variant}] node={acc['node_accuracy']:.4f} "
+              f"exact={acc['exact_tree_match']:.4f}", flush=True)
+
+    acc = results["tree_accuracy"]  # primary (first) variant
     lines = [
         "# Tree composition results", "",
         f"Corpus: {args.train_superblocks:,} train / "
@@ -317,6 +398,17 @@ def main(argv=None):
         f"Exact-tree match: {acc['exact_tree_match']:.4f}",
         f"Structure accuracy: {acc['structure_accuracy']:.4f}",
     ]
+    if len(results["tree_accuracy_variants"]) > 1:
+        lines += [
+            "", "| variant | node acc | exact tree | structure |",
+            "|---|---|---|---|",
+        ]
+        for v, a in results["tree_accuracy_variants"].items():
+            lines.append(
+                f"| {v} | {a['node_accuracy']:.4f} | "
+                f"{a['exact_tree_match']:.4f} | "
+                f"{a['structure_accuracy']:.4f} |"
+            )
     (out / "RESULTS.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
 

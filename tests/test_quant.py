@@ -553,3 +553,89 @@ def test_attach_fused_front_follows_model_dtype(stage1, images):
     got = np.asarray(jax.jit(lambda t: q(t))(x))
     want = np.asarray(jax.jit(lambda t: q_ref(t))(x))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_front_g1_matches_xla_chain(stage1):
+    """make_fused_front_g1 (ONE pallas_call for stem+relu+maxpool+both
+    layer-1 blocks+SE1) reproduces the XLA chain at float32 tolerance at
+    both supported extents."""
+    import flax.linen as fnn
+
+    from av1tpu.kernels.fused_front import make_fused_front_g1
+    from av1tpu.quant.ptq import _DIMNUMS, _conv_f
+
+    _, variables = stage1
+    rng = np.random.default_rng(3)
+    for hw in (16, 8):
+        folded = fold_backbone(variables)
+        x = jnp.asarray(rng.normal(size=(20, hw, hw, 1)), jnp.float32)
+
+        stem = folded["stem"]
+        y = jax.lax.conv_general_dilated(
+            x, stem["kernel"].astype(jnp.float32), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=_DIMNUMS,
+        )
+        y = jnp.maximum(y + stem["bias"], 0)
+        y = fnn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for n in ("layer1_0", "layer1_1"):
+            blk = folded[n]
+            h = jnp.maximum(
+                _conv_f(y, blk["conv1"]["kernel"].astype(jnp.float32), 1)
+                + blk["conv1"]["bias"], 0,
+            )
+            h2 = (
+                _conv_f(h, blk["conv2"]["kernel"].astype(jnp.float32), 1)
+                + blk["conv2"]["bias"]
+            )
+            y = jnp.maximum(h2 + y, 0)
+        se = folded["se1"]
+        g = jnp.mean(y, axis=(1, 2))
+        g = jnp.maximum(g @ se["d0"].astype(jnp.float32), 0)
+        g = jax.nn.sigmoid(g @ se["d1"].astype(jnp.float32))
+        want = y * g[:, None, None, :]
+
+        front = make_fused_front_g1(
+            folded, hw, float_dtype=jnp.float32, tile=16, interpret=True
+        )
+        got = front(x)  # batch 20 exercises the pad-to-tile path
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_fused_front_g1_pipeline_agreement(v6_models, images):
+    """The folded and unified pipelines with use_fused_front='g1'
+    reproduce their XLA twins' stage-1 probabilities and final labels."""
+    from av1tpu.eval import make_v6_pipeline_folded
+    from av1tpu.eval.unified import make_unified_pipeline_folded
+    from av1tpu.models import UnifiedV6Model
+    from av1tpu.utils.initialization import init_on_cpu
+
+    base = make_v6_pipeline_folded(
+        v6_models, stage1_threshold=0.45, float_dtype=jnp.float32
+    )
+    g1 = make_v6_pipeline_folded(
+        v6_models, stage1_threshold=0.45, float_dtype=jnp.float32,
+        use_fused_front="g1", interpret=True,
+    )
+    a = {k: np.asarray(v) for k, v in base(jnp.asarray(images)).items()}
+    b = {k: np.asarray(v) for k, v in g1(jnp.asarray(images)).items()}
+    np.testing.assert_allclose(b["stage1_prob"], a["stage1_prob"], atol=1e-4)
+    np.testing.assert_array_equal(b["final"], a["final"])
+
+    uni = UnifiedV6Model()
+    uvars = init_on_cpu(
+        uni, jax.random.PRNGKey(9), jnp.zeros((2, 16, 16, 1), jnp.float32)
+    )
+    ub = make_unified_pipeline_folded(
+        uvars, stage1_threshold=0.45, float_dtype=jnp.float32
+    )
+    ug = make_unified_pipeline_folded(
+        uvars, stage1_threshold=0.45, float_dtype=jnp.float32,
+        use_fused_front="g1", interpret=True,
+    )
+    au = {k: np.asarray(v) for k, v in ub(jnp.asarray(images)).items()}
+    bu = {k: np.asarray(v) for k, v in ug(jnp.asarray(images)).items()}
+    np.testing.assert_allclose(bu["stage1_prob"], au["stage1_prob"], atol=1e-4)
+    np.testing.assert_array_equal(bu["final"], au["final"])
